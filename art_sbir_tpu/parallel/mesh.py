@@ -1,0 +1,88 @@
+"""Mesh construction and sharding specs for the data-parallel training path
+and the sharded retrieval gallery.
+
+Design notes
+------------
+The workload has exactly two distributed axes of interest (SURVEY.md §2.9):
+
+* ``data``: the batch axis of encoder training and gallery embedding. Inputs
+  are sharded along ``data``; parameters and optimizer state are replicated.
+  With ``jax.jit`` + ``NamedSharding`` XLA performs the gradient all-reduce
+  over ICI automatically — no hand-written collectives.
+* the retrieval gallery: the (N, D) embedding matrix can be sharded row-wise
+  across the same axis. Each chip ranks its shard and the (Q, k) partial
+  top-k results are merged; XLA inserts the all-gather of the tiny partials.
+
+Everything here also runs on a single device (mesh of size 1) so the
+single-chip v5e benchmark path and the multi-chip path share all code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Declarative mesh description.
+
+    ``data`` is the number of data-parallel shards; ``axis_name`` the mesh
+    axis used for batch sharding and gradient reduction.
+    """
+
+    data: int = 1
+    axis_name: str = DATA_AXIS
+
+    def build(self, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+        devices = list(devices if devices is not None else jax.devices())
+        if self.data > len(devices):
+            raise ValueError(
+                f"MeshSpec wants {self.data} devices, only {len(devices)} present"
+            )
+        dev = np.asarray(devices[: self.data])
+        return Mesh(dev, axis_names=(self.axis_name,))
+
+
+def data_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """A 1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else n_devices
+    return MeshSpec(data=n, axis_name=axis_name).build(devices)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis, replicate the rest."""
+    spec = P(axis_name, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def gallery_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Row-shard an (N, D) gallery-embedding matrix over the data axis."""
+    return NamedSharding(mesh, P(axis_name, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
+    """Device-put a pytree of host arrays with dim-0 sharded over the mesh."""
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    """Smallest multiple of ``m`` that is >= ``n``."""
+    return ((n + m - 1) // m) * m

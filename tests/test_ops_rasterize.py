@@ -1,0 +1,85 @@
+"""TPU rasterizer vs the host Bresenham golden reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from art_sbir_tpu.ops import rasterize as R
+from art_sbir_tpu.ops import raster_reference as RR
+
+
+def _random_stroke5(rng, t=40, n_valid=None):
+    n_valid = n_valid or rng.integers(8, t)
+    s = np.zeros((t, 5), np.float32)
+    s[:, :2] = rng.standard_normal((t, 2)) * 12.0
+    pen_up = rng.random(t) < 0.15
+    s[:, 3] = pen_up
+    s[:, 2] = 1 - s[:, 3]
+    s[n_valid - 1, 2:] = [0, 0, 1]
+    s[n_valid:, :] = 0
+    s[n_valid:, 4] = 1
+    return s
+
+
+def test_bresenham_closed_form_matches_generator(rng):
+    """Dense coverage formula == sequential Bresenham on random segments."""
+    for _ in range(50):
+        x0, y0, x1, y1 = rng.integers(1, 64, size=4)
+        pts = np.array(RR.bresenham_points(int(x0), int(y0), int(x1), int(y1)))
+        p = jnp.array([[[x0, y0], [x1, y1]]], dtype=jnp.int32)
+        mask = np.asarray(
+            R.rasterize_points(p, jnp.ones((1, 1), bool), side=64)
+        )[0]
+        ref = np.zeros((64, 64), bool)
+        for x, y in pts:
+            if 0 < x < 64 and 0 < y < 64:
+                ref[y, x] = True
+        np.testing.assert_array_equal(mask, ref)
+
+
+def test_rasterize_points_exact_vs_reference_draw(rng):
+    """Given identical integer points, device rasterization is bit-exact."""
+    for _ in range(5):
+        s5 = _random_stroke5(rng)
+        s3 = RR.stroke5_to_stroke3(s5)
+        pts, pen = RR.stroke3_to_points(s3)
+        ref = RR.binary_dilate_cross_np(RR.draw_points(pts, pen)) * 255.0
+
+        n = len(pts)
+        seg = (pen[:-1] == 0).astype(bool)
+        from art_sbir_tpu.ops.dilate import binary_dilate_cross
+
+        canvas = R.rasterize_points(
+            jnp.array(pts, jnp.int32)[None], jnp.array(seg)[None]
+        )
+        ours = np.asarray(binary_dilate_cross(canvas)).astype(np.float32) * 255.0
+        np.testing.assert_array_equal(ours[0], ref)
+
+
+def test_full_device_pipeline_close_to_reference(rng):
+    """End-to-end stroke-5 batch: f32 scaling can flip boundary pixels only."""
+    batch = np.stack([_random_stroke5(rng) for _ in range(4)])
+    ours = np.asarray(R.rasterize_strokes(jnp.array(batch)))
+    ref = RR.batch_rasterize_relative_np(batch)
+    agreement = (ours == ref).mean()
+    assert agreement > 0.995, f"pixel agreement {agreement}"
+
+
+def test_stroke3_input(rng):
+    s3 = RR.stroke5_to_stroke3(_random_stroke5(rng))
+    ref = RR.rasterize_stroke3_np(s3)
+    ours = np.asarray(R.rasterize_strokes(jnp.array(s3[None], jnp.float32)))
+    agreement = (ours[0] == ref).mean()
+    assert agreement > 0.995
+
+
+def test_end_token_truncation():
+    """Strokes after the end token must not draw."""
+    s = np.zeros((10, 5), np.float32)
+    s[:, 0] = 10.0
+    s[:, 1] = [3, -5, 8, 2, -7, 0, 0, 0, 0, 0]
+    s[:, 2] = 1
+    s[4, 2:] = [0, 0, 1]  # end at step 4
+    s[5:, :2] = 500.0  # would wildly change scaling if included
+    a = np.asarray(R.rasterize_strokes(jnp.array(s[None])))
+    ref = RR.rasterize_stroke5_np(s)
+    np.testing.assert_array_equal(a[0], ref)
