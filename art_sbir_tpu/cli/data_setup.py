@@ -1,0 +1,108 @@
+"""Data acquisition CLI (reference `data_setup.py`).
+
+Downloads + unpacks the Sketchy photos/sketches/SVG archives into
+``data/sketchy/`` and builds the Kaggle train/test CSV splits (reference
+`data_setup.py:17-82`, `data/kaggle/kaggle_info.py:43-48`). Also provides
+``--synthetic`` to generate the miniature test corpora used by CI and smoke
+runs (no network needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import urllib.request
+import zipfile
+from pathlib import Path
+
+SKETCHY_URLS = {
+    # the public Sketchy database mirrors used by the reference
+    "photos": "https://sketchy.eye.gatech.edu/rendered_256x256.7z",
+    "sketches": "https://sketchy.eye.gatech.edu/sketches_png.zip",
+    "svgs": "https://sketchy.eye.gatech.edu/sketches_svg.zip",
+}
+
+
+def download(url: str, dest: Path) -> Path:
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    if dest.exists():
+        print(f"{dest} already present", flush=True)
+        return dest
+    print(f"downloading {url} -> {dest}", flush=True)
+    with urllib.request.urlopen(url) as r, open(dest, "wb") as f:
+        shutil.copyfileobj(r, f)
+    return dest
+
+
+def unpack(archive: Path, dest: Path) -> None:
+    dest.mkdir(parents=True, exist_ok=True)
+    if archive.suffix == ".zip":
+        with zipfile.ZipFile(archive) as z:
+            z.extractall(dest)
+    else:
+        raise RuntimeError(
+            f"cannot unpack {archive} here — extract manually into {dest}"
+        )
+
+
+def build_kaggle_split(
+    kaggle_dir: Path, test_fraction: float = 0.1, seed: int = 42
+) -> None:
+    """Build kaggle_art_dataset_{train,test}.csv from an all-data CSV with
+    filename/style/genre columns (reference `kaggle_info.py:43-48`)."""
+    import numpy as np
+    import pandas as pd
+
+    src = kaggle_dir / "all_data_info.csv"
+    if not src.is_file():
+        raise FileNotFoundError(f"expected {src} (Kaggle painter-by-numbers info)")
+    df = pd.read_csv(src)
+    cols = {"new_filename": "filename"} if "new_filename" in df.columns else {}
+    df = df.rename(columns=cols)[["filename", "style", "genre"]].dropna()
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(df))
+    n_test = int(len(df) * test_fraction)
+    df.iloc[perm[n_test:]].to_csv(kaggle_dir / "kaggle_art_dataset_train.csv",
+                                  index=False)
+    df.iloc[perm[:n_test]].to_csv(kaggle_dir / "kaggle_art_dataset_test.csv",
+                                  index=False)
+    print("kaggle CSV splits written", flush=True)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="dataset download / preparation")
+    p.add_argument("--sketchy_download", action="store_true")
+    p.add_argument("--kaggle_split", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate miniature synthetic corpora for smoke runs")
+    p.add_argument("--root", type=str, default="data")
+    args = p.parse_args(argv)
+
+    root = Path(args.root)
+    if args.synthetic:
+        from art_sbir_tpu.data.synthetic import (
+            make_synthetic_kaggle,
+            make_synthetic_sketchy,
+        )
+
+        make_synthetic_sketchy(root / "sketchy", with_svg=True)
+        make_synthetic_kaggle(root / "kaggle")
+        print(f"synthetic corpora written under {root}", flush=True)
+        return
+
+    if args.sketchy_download:
+        sk = root / "sketchy"
+        for name, url in SKETCHY_URLS.items():
+            try:
+                archive = download(url, sk / Path(url).name)
+                if archive.suffix == ".zip":
+                    unpack(archive, sk)
+            except Exception as e:
+                print(f"{name}: download failed ({e}); fetch manually from "
+                      f"{url} into {sk}", flush=True)
+    if args.kaggle_split:
+        build_kaggle_split(root / "kaggle")
+
+
+if __name__ == "__main__":
+    main()

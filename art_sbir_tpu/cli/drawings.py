@@ -1,0 +1,89 @@
+"""Informative-drawings batch inference CLI (reference `drawings_main.py`
+and `create_drawings.py` — the latter shipped broken with a bad import,
+`create_drawings.py:15`; both paths work here).
+
+Loads a DrawingGenerator checkpoint ({contour, anime, opensketch}) and
+writes line drawings for a whole corpus: Kaggle ->
+``data/kaggle/<name>_drawings/<stem>.png``; Sketchy -> per-class shards
+under ``data/sketchy/<name>_drawings/``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    from art_sbir_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from art_sbir_tpu.core.checkpoint import load_pytree
+    from art_sbir_tpu.models.drawing import DrawingGenerator
+
+    p = argparse.ArgumentParser(description="generate line drawings")
+    p.add_argument("-n", "--name", default="contour",
+                   choices=["contour", "anime", "opensketch"])
+    p.add_argument("--model", type=str, default=None,
+                   help="orbax checkpoint dir (fresh init if omitted)")
+    p.add_argument("--corpus", choices=["kaggle", "sketchy"], default="kaggle")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--img_type", default="images")
+    p.add_argument("--classes", nargs="*", default=None,
+                   help="sketchy class shard (reference create_drawings.py)")
+    p.add_argument("-b", "--batch_size", type=int, default=16)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--dsize", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    model = DrawingGenerator()
+    x0 = jnp.zeros((1, args.image_size, args.image_size, 3))
+    variables = model.init(jax.random.key(0), x0)
+    if args.model:
+        variables = {"params": load_pytree(args.model,
+                                           {"params": variables["params"]})["params"]}
+
+    fwd = jax.jit(lambda x: model.apply(variables, x))
+
+    if args.corpus == "kaggle":
+        from art_sbir_tpu.data import get_datasets
+
+        train, test = get_datasets("KaggleDatasetImgOnlyV1", size=args.dsize,
+                                   img_type=args.img_type, root=args.data_root)
+        paths = list(train.photo_paths) + list(test.photo_paths)
+        root = Path(args.data_root) if args.data_root else Path("data/kaggle")
+        out_dir = root / f"{args.name}_drawings"
+    else:
+        root = Path(args.data_root) if args.data_root else Path("data/sketchy")
+        classes = args.classes or sorted(
+            d.name for d in (root / "photos").iterdir() if d.is_dir()
+        )
+        paths = [p for c in classes for p in sorted((root / "photos" / c).glob("*.jpg"))]
+        out_dir = root / f"{args.name}_drawings"
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    from art_sbir_tpu.data.loader import decode_image
+
+    for s in range(0, len(paths), args.batch_size):
+        chunk = paths[s : s + args.batch_size]
+        x = np.stack([decode_image(p, args.image_size) for p in chunk])
+        out = np.asarray(fwd(jnp.asarray(x, jnp.float32) / 255.0))
+        for img, path in zip(out, chunk):
+            dest = out_dir
+            if args.corpus == "sketchy":
+                dest = out_dir / Path(path).parent.name
+                dest.mkdir(parents=True, exist_ok=True)
+            Image.fromarray((img[..., 0] * 255).astype(np.uint8), mode="L").save(
+                dest / f"{Path(path).stem}.png"
+            )
+    print(f"{len(paths)} drawings written to {out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""pix2pix photo->sketch CLI (reference `pix2pix_main.py`).
+
+Training: decoder-only (D) warmup first epoch (`pix2pix_main.py:29-31`),
+then full G+D steps; per-epoch sample sheets and loss tracking. Generation:
+writes G(photo) sketches for the whole corpus to
+``data/kaggle/photo_sketch/<stem>.png`` (`pix2pix_main.py:95-119`).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def to_uint8(img01_signed: np.ndarray) -> np.ndarray:
+    """[-1, 1] tanh output -> uint8 (reference `utils.py:105-111`)."""
+    return ((np.clip(img01_signed, -1, 1) + 1.0) / 2.0 * 255.0).astype(np.uint8)
+
+
+def main(argv=None) -> None:
+    from art_sbir_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from art_sbir_tpu.core.metrics import LossTracker, Timer
+    from art_sbir_tpu.core.results import ResultsWriter
+    from art_sbir_tpu.data import get_datasets
+    from art_sbir_tpu.data.loader import decode_image
+    from art_sbir_tpu.train.gan import Pix2Pix, Pix2PixConfig
+    from art_sbir_tpu.viz.plots import loss_curves, triplet_grid
+
+    p = argparse.ArgumentParser(description="pix2pix photo->sketch")
+    p.add_argument("--mode", choices=["train", "generate"], default="generate")
+    p.add_argument("-e", "--epochs", type=int, default=1)
+    p.add_argument("-b", "--batch_size", type=int, default=6)
+    p.add_argument("-l", "--lr", type=float, default=1e-5)
+    p.add_argument("--lambda_L1", type=float, default=10.0)
+    p.add_argument("--netG", default="resnet_9blocks",
+                   choices=["resnet_9blocks", "unet_256"])
+    p.add_argument("--netD", default="basic", choices=["basic", "n_layers", "pixel"])
+    p.add_argument("--norm", default="batch", choices=["batch", "instance", "none"])
+    p.add_argument("--gan_mode", default="vanilla",
+                   choices=["vanilla", "lsgan", "wgangp"])
+    p.add_argument("--dataset", default="SketchyPix2Pix",
+                   choices=["SketchyPix2Pix", "KaggleDatasetImgOnlyV1"])
+    p.add_argument("-s", "--dsize", type=float, default=1.0)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--out_dir", type=str, default="data/kaggle/photo_sketch")
+    p.add_argument("--model", type=str, default=None, help="orbax warm start")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = Pix2PixConfig(
+        net_g=args.netG, net_d=args.netD, norm=args.norm, gan_mode=args.gan_mode,
+        lambda_l1=args.lambda_L1, lr=args.lr, image_size=args.image_size,
+    )
+    model = Pix2Pix(cfg, jax.random.key(args.seed))
+    if args.model:
+        from art_sbir_tpu.core.checkpoint import load_pytree
+
+        restored = load_pytree(
+            args.model,
+            {"g": {"params": model.g.params, "batch_stats": model.g.batch_stats},
+             "d": {"params": model.d.params, "batch_stats": model.d.batch_stats}},
+        )
+        model.g = model.g.replace(**restored["g"])
+        model.d = model.d.replace(**restored["d"])
+
+    train_cat, test_cat = get_datasets(
+        dataset=args.dataset, size=args.dsize, root=args.data_root
+    )
+
+    def batches(catalog, train: bool, rng: np.random.Generator):
+        order = list(range(len(catalog)))
+        if train:
+            rng.shuffle(order)
+        for s in range(0, len(order), args.batch_size):
+            idx = order[s : s + args.batch_size]
+            items = [catalog.item(i) for i in idx]
+            a = np.stack([
+                decode_image(it.get("A", it.get("image")), args.image_size)
+                for it in items
+            ]).astype(np.float32) / 255.0
+            batch = {"A": jnp.asarray(a),
+                     "paths": [str(it.get("A", it.get("image"))) for it in items]}
+            if "B" in items[0]:
+                b = np.stack([
+                    decode_image(it["B"], args.image_size, grayscale=True)
+                    for it in items
+                ]).astype(np.float32) / 255.0
+                batch["B"] = jnp.asarray(b)
+            yield batch
+
+    rng = np.random.default_rng(args.seed)
+    if args.mode == "train":
+        keys = ["G_GAN", "G_L1", "D_real", "D_fake", "G_total", "D_total"]
+        tracker = LossTracker(keys)
+        timer = Timer()
+        for epoch in range(args.epochs):
+            tracker.reset_sums()
+            n = 0
+            for batch in batches(train_cat, True, rng):
+                losses = model.train_step(
+                    {"A": batch["A"], "B": batch["B"]},
+                    jax.random.key(int(rng.integers(2**31))),
+                    decoder_only=(epoch == 0),  # reference warmup epoch
+                )
+                tracker.add({k: float(v) for k, v in losses.items()})
+                n += 1
+            tracker.append({k: v for k, v in tracker.sums.items()}, max(n, 1))
+            print(f"Epoch {epoch + 1}: " + ", ".join(
+                f"{k}={tracker.series[k][-1]:.4f}" for k in keys), flush=True)
+
+        writer = ResultsWriter("Pix2PixModel", train_cat.state_dict["dataset"])
+        training_dict = {"train_losses": dict(tracker.series),
+                         "training_time": timer.elapsed()}
+        writer.write_all(train_cat.state_dict, training_dict,
+                         {"lambda_L1": cfg.lambda_l1, "lr": cfg.lr,
+                          "netG": cfg.net_g, "netD": cfg.net_d,
+                          "gan_mode": cfg.gan_mode, "norm": cfg.norm,
+                          "epochs": args.epochs, "batch_size": args.batch_size},
+                         {})
+        for key in keys:
+            loss_curves(tracker.series[key], [], writer.path / f"loss_{key}.png",
+                        title=key)
+        from art_sbir_tpu.core.checkpoint import save_pytree
+
+        save_pytree(
+            Path("models") / writer.run_name,
+            {"g": {"params": model.g.params, "batch_stats": model.g.batch_stats},
+             "d": {"params": model.d.params, "batch_stats": model.d.batch_stats}},
+        )
+        # sample sheet: (A, fake, real) triplets from the test set
+        for batch in batches(test_cat, False, rng):
+            if "B" not in batch:
+                break
+            fake = np.asarray(model.generate(batch["A"]))
+            trips = [
+                (np.asarray(batch["A"][i]), to_uint8(fake[i]),
+                 np.asarray(batch["B"][i]))
+                for i in range(min(4, fake.shape[0]))
+            ]
+            triplet_grid(trips, writer.path / "samples.png",
+                         titles=("photo", "fake sketch", "real sketch"))
+            break
+        print(f"Data saved in {writer.path}", flush=True)
+    else:  # generate sketches for the whole corpus
+        out_dir = Path(args.out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for catalog in (test_cat, train_cat):
+            if catalog is None:
+                continue
+            for batch in batches(catalog, False, rng):
+                fake = np.asarray(model.generate(batch["A"]))
+                for img, path in zip(fake, batch["paths"]):
+                    Image.fromarray(to_uint8(img)[..., 0], mode="L").save(
+                        out_dir / f"{Path(path).stem}.png"
+                    )
+        print(f"Generated sketches written to {out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Triplet-training CLI — flag surface of the reference `train.py:105-124`.
+
+End-to-end: catalogs -> host loader (uint8) -> device finishing (normalize /
+augment) -> jitted triplet step (3 forwards + backward + Adam in one XLA
+program) -> retrieval evaluation -> orbax checkpoint + the 4-JSON results
+contract + plots.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Starts training a model")
+    p.add_argument("-e", "--epochs", type=int, default=1)
+    p.add_argument("-b", "--batch_size", type=int, default=32)
+    p.add_argument("-l", "--learning_rate", type=float, default=1e-5)
+    p.add_argument("-m", "--model", type=str, default=None,
+                   help="checkpoint dir to warm-start from (orbax)")
+    p.add_argument("--model_type", type=str,
+                   default="ModifiedResNet_with_classification",
+                   choices=["ModifiedResNet", "ModifiedResNet_with_classification"])
+    p.add_argument("-d", "--dataset", type=str, default="SketchyV1",
+                   choices=["SketchyV1", "SketchyV2", "KaggleV1", "KaggleV2",
+                            "AugmentedKaggleV1", "AugmentedKaggleV2",
+                            "MixedDatasetV1", "MixedDatasetV2", "MixedDatasetV3",
+                            "MixedDatasetV4", "CategorizedMixedDatasetV2"])
+    p.add_argument("-s", "--dsize", type=float, default=1.0)
+    p.add_argument("--inference", action="store_true")
+    p.add_argument("--feature_folder", default=None)
+    p.add_argument("--no_training", action="store_true")
+    p.add_argument("-w", "--weight_decay", type=float, default=2e-3)
+    p.add_argument("--img_type", type=str, default="photos",
+                   choices=["photos", "anime_drawings", "contour_drawings",
+                            "images", "artworks"])
+    p.add_argument("--sketch_type", default="sketches_png",
+                   choices=["sketches_png", "contour_drawings",
+                            "opensketch_drawings", "photo_sketch",
+                            "adain_sketches", "combination",
+                            "dilated_opensketch_drawings"])
+    p.add_argument("--sketch_format", default="png", choices=["png", "jpg"])
+    p.add_argument("--loss_type", default="euclidean",
+                   choices=["euclidean", "cosine"])
+    p.add_argument("--loss_margin", type=float, default=0.2)
+    # TPU-framework additions
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--num_classes", type=int, default=125)
+    p.add_argument("--num_classes2", type=int, default=0)
+    p.add_argument("--results_root", type=str, default="results")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> Path:
+    from art_sbir_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.core.checkpoint import load_pytree, save_pytree
+    from art_sbir_tpu.core.results import ResultsWriter
+    from art_sbir_tpu.data import get_datasets
+    from art_sbir_tpu.data.loader import TripletLoader
+    from art_sbir_tpu.models.resnet import create_encoder
+    from art_sbir_tpu.retrieval.engine import run_inference
+    from art_sbir_tpu.train.losses import TripletLossConfig
+    from art_sbir_tpu.train.prepare import finish_gallery_batch, finish_triplet_batch
+    from art_sbir_tpu.train.triplet import TripletTrainer, create_train_state, torch_adam
+    from art_sbir_tpu.viz.plots import visualize
+
+    args = build_parser().parse_args(argv)
+
+    sketch_type = args.sketch_type
+    if sketch_type == "combination":  # reference train.py:126
+        sketch_type = ["contour_drawings", "opensketch_drawings",
+                       "dilated_opensketch_drawings"]
+
+    img_format = "png" if "drawings" in args.img_type else "jpg"
+
+    with_classification = "with_classification" in args.model_type
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    num_classes2 = args.num_classes2
+    if with_classification and "Kaggle" in args.dataset and num_classes2 == 0:
+        num_classes2 = 32  # styles+genres heads (reference utils.py:180)
+    model = create_encoder(
+        with_classification=with_classification,
+        num_classes=args.num_classes,
+        num_classes2=num_classes2,
+        dtype=dtype,
+        input_resolution=args.image_size,
+    )
+
+    train_cat, test_cat = get_datasets(
+        dataset=args.dataset, size=args.dsize, sketch_type=sketch_type,
+        sketch_format=args.sketch_format, img_type=args.img_type,
+        img_format=img_format, root=args.data_root,
+    )
+
+    with_cls_loss = with_classification and "V2" in train_cat.state_dict["dataset"]
+    loss_cfg = TripletLossConfig.for_dataset(
+        train_cat.state_dict["dataset"], args.loss_type, with_cls_loss,
+        margin=args.loss_margin,
+    )
+
+    state = create_train_state(
+        model, jax.random.key(args.seed), (1, args.image_size, args.image_size, 3),
+        tx=torch_adam(args.learning_rate, args.weight_decay),
+    )
+    if args.model:
+        restored = load_pytree(args.model, {"params": state.params,
+                                            "batch_stats": state.batch_stats})
+        state = state.replace(**restored)
+        print(f"Model {args.model} loaded", flush=True)
+
+    augment_version = getattr(train_cat, "augment_sketches", 0)
+    flip = augment_version > 0
+    rng = np.random.default_rng(args.seed)
+
+    def device_batches(catalog, train: bool):
+        loader = TripletLoader(catalog, args.batch_size, args.image_size)
+
+        def gen():
+            for batch in loader:
+                key = jax.random.key(int(rng.integers(2**31)))
+                yield finish_triplet_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, key,
+                    augment_version=augment_version if train else 0,
+                    flip=flip if train else False, train=train,
+                )
+
+        return gen
+
+    param_dict = {
+        "model": args.model or "fresh-init", "dataset": args.dataset,
+        "epochs": args.epochs, "batch_size": args.batch_size,
+        "learning_rate": args.learning_rate, "weight_decay": args.weight_decay,
+        "optimizer": "Adam", "loss_fn": "TripletMarginLoss",
+        "loss_margin": args.loss_margin, "loss_type": args.loss_type,
+        "loss_weights": [loss_cfg.classification_weight,
+                         loss_cfg.classification_weight2],
+    }
+    data_dict = train_cat.state_dict
+    print(param_dict, flush=True)
+    print(data_dict, flush=True)
+
+    training_dict = {}
+    if not args.no_training:
+        trainer = TripletTrainer(loss_cfg, args.batch_size, args.epochs)
+        state, training_dict = trainer.run(
+            state, device_batches(train_cat, True), device_batches(test_cat, False)
+        )
+
+    inference_dict = {}
+    if args.inference:
+        def forward(images_uint8):
+            x = finish_gallery_batch(images_uint8)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False,
+            )
+            return out[0] if isinstance(out, tuple) else out
+
+        kq = None
+        name = test_cat.state_dict["dataset"]
+        if "Kaggle" in name or "Mixed" in name:
+            try:
+                _, kq = get_datasets("KaggleInferenceV1", sketch_type="sketches",
+                                     root=args.data_root)
+            except FileNotFoundError:
+                kq = None
+        inference_dict = run_inference(
+            forward, test_cat, args.feature_folder, args.loss_type,
+            image_size=args.image_size, model_name=type(model).__name__,
+            kaggle_queries=kq,
+        )
+
+    writer = ResultsWriter(type(model).__name__, data_dict["dataset"],
+                           root=args.results_root)
+    if training_dict:
+        save_pytree(Path("models") / writer.run_name,
+                    {"params": state.params, "batch_stats": state.batch_stats})
+        print(f"Model saved as {writer.run_name}", flush=True)
+    writer.write_all(data_dict, training_dict, param_dict, inference_dict)
+    visualize(writer.path, training_dict, inference_dict)
+    print(f"Data saved in {writer.path}", flush=True)
+    return writer.path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Host-side batch loader: PIL decode + resize into fixed-shape uint8
+batches, with background prefetch; all further math (normalize, augment,
+rasterize) runs on device inside the jitted step.
+
+Replaces the reference's torch DataLoader worker processes
+(`train.py:154-155`) — on TPU hosts the loader's only jobs are decode and
+shaping; keeping batches uint8 quarters the host->HBM transfer vs float32.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import random
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from art_sbir_tpu.ops.resize import center_crop_slices, shortest_side_size
+
+
+def decode_image(
+    path: Path | str, size: int, resize_mode: str = "square", grayscale: bool = False
+) -> np.ndarray:
+    """PIL decode -> uint8 (size, size, 3) (or (size, size, 1) grayscale).
+
+    ``square``: Resize((size, size)) parity with `transformations.py:9-15`.
+    ``shortest_crop``: Resize(size) + CenterCrop parity with the model
+    transform (reference `models.py:289-292`).
+    """
+    img = Image.open(path)
+    img = img.convert("L" if grayscale else "RGB")
+    if resize_mode == "square":
+        img = img.resize((size, size), Image.BICUBIC)
+    elif resize_mode == "shortest_crop":
+        h, w = img.height, img.width
+        nh, nw = shortest_side_size(h, w, size)
+        img = img.resize((nw, nh), Image.BICUBIC)
+        top, left = center_crop_slices(nh, nw, size)
+        img = img.crop((left, top, left + size, top + size))
+    else:
+        raise ValueError(f"unknown resize_mode {resize_mode}")
+    arr = np.asarray(img, np.uint8)
+    if grayscale:
+        arr = arr[..., None]
+    return arr
+
+
+class TripletLoader:
+    """Batches a RetrievalCatalog's triplets.
+
+    Yields dicts of host numpy arrays: ``sketch``/``positive``/``negative``
+    uint8 (B, S, S, 3) (+ ``label``/``label2`` int32). Train mode shuffles
+    per epoch; a background thread builds batch k+1 while the device chews
+    batch k. Corrupt images fall back to item 0 with a warning (reference
+    `data_preparation.py:517-525`).
+    """
+
+    def __init__(
+        self,
+        catalog,
+        batch_size: int = 32,
+        image_size: int = 224,
+        resize_mode: str = "square",
+        shuffle: Optional[bool] = None,
+        seed: int = 0,
+        prefetch: bool = True,
+        keys=("sketch", "positive", "negative"),
+    ):
+        self.catalog = catalog
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.resize_mode = resize_mode
+        self.shuffle = shuffle if shuffle is not None else (catalog.mode == "train")
+        self.rng = random.Random(seed)
+        self.prefetch = prefetch
+        self.keys = keys
+
+    def __len__(self) -> int:
+        return (len(self.catalog) + self.batch_size - 1) // self.batch_size
+
+    def _decode(self, path):
+        try:
+            return decode_image(path, self.image_size, self.resize_mode)
+        except Exception as e:  # corrupt-image fallback (reference behavior)
+            print(f"error decoding {path}: {e}", flush=True)
+            fallback = self.catalog.item(0)
+            key = self.keys[1] if self.keys[1] in fallback else self.keys[0]
+            return decode_image(fallback[key], self.image_size, self.resize_mode)
+
+    def _build(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        items = [self.catalog.item(i) for i in indices]
+        batch: Dict[str, np.ndarray] = {}
+        for key in self.keys:
+            if key not in items[0]:
+                continue
+            batch[key] = np.stack([self._decode(it[key]) for it in items])
+        for lk in ("label", "label2"):
+            if lk in items[0]:
+                batch[lk] = np.asarray([it[lk] for it in items], np.int32)
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order: List[int] = list(range(len(self.catalog)))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        chunks = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if not self.prefetch:
+            for c in chunks:
+                yield self._build(c)
+            return
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            future = pool.submit(self._build, chunks[0]) if chunks else None
+            for i, _ in enumerate(chunks):
+                batch = future.result()
+                future = (
+                    pool.submit(self._build, chunks[i + 1])
+                    if i + 1 < len(chunks)
+                    else None
+                )
+                yield batch
+
+
+class GalleryLoader:
+    """Feeds :func:`art_sbir_tpu.retrieval.embed.embed_batched`: a
+    ``(start, count) -> (count, S, S, 3)`` view over dedup-sorted paths."""
+
+    def __init__(self, image_paths, image_size: int = 224,
+                 resize_mode: str = "square"):
+        self.image_paths = list(image_paths)
+        self.image_size = image_size
+        self.resize_mode = resize_mode
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def __call__(self, start: int, count: int) -> np.ndarray:
+        return np.stack(
+            [
+                decode_image(p, self.image_size, self.resize_mode)
+                for p in self.image_paths[start : start + count]
+            ]
+        )

@@ -115,10 +115,13 @@ def rank_of_positive(
 def top_k(
     dist: jax.Array, k: int, valid: jax.Array | None = None
 ) -> Tuple[jax.Array, jax.Array]:
-    """Smallest-k distances per row -> (values, indices), ascending."""
+    """Smallest-k distances per row -> (values, indices), ascending.
+
+    ``k`` is clamped to the gallery size (tiny-gallery safety; the reference
+    always asks for k=10, `inference.py:97`)."""
     if valid is not None:
         dist = jnp.where(valid[None, :], dist, jnp.inf)
-    neg_vals, idx = jax.lax.top_k(-dist, k)
+    neg_vals, idx = jax.lax.top_k(-dist, min(k, dist.shape[-1]))
     return -neg_vals, idx
 
 

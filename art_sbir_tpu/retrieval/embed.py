@@ -1,0 +1,105 @@
+"""Gallery and query embedding.
+
+Replaces the reference's batch-50 python loop with per-image ``.to(device)``
+transfers (reference `inference.py:72-92`) by a jitted, batch-sharded encoder
+sweep that writes straight into an HBM-resident (N, D) matrix. Under a data
+mesh the gallery batch axis is sharded and each chip embeds its shard.
+
+The embedding cache keeps the reference's contract (reference
+`utils.py:258-284`): ``data/image_features/<model>_<dataset>_<ts>/`` with
+``image_paths.csv`` — but stores features as ``.npy`` (with a CSV
+compatibility reader/writer for interop with reference-produced caches).
+"""
+
+from __future__ import annotations
+
+import csv
+from datetime import datetime
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from art_sbir_tpu.parallel.mesh import batch_sharding, pad_to_multiple
+
+
+def embed_batched(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    images: Callable[[int, int], np.ndarray] | np.ndarray,
+    n_images: Optional[int] = None,
+    batch_size: int = 256,
+    mesh=None,
+    feature_dim: Optional[int] = None,
+) -> np.ndarray:
+    """Embed ``n_images`` through a jitted encoder in fixed-shape batches.
+
+    ``images`` is either an (N, H, W, C) array or a loader callable
+    ``(start, count) -> (count, H, W, C)`` (host pipeline). The tail batch is
+    padded to keep one compiled program. Returns (N, D) float32 on host.
+    """
+    if not callable(images):
+        arr = images
+        n_images = arr.shape[0]
+        images = lambda s, c: arr[s : s + c]
+    assert n_images is not None
+    # don't compile a wider program than the corpus needs, but keep the
+    # batch a multiple of 32 so gallery and query sweeps of different sizes
+    # share one compiled forward
+    batch_size = max(32, min(batch_size, pad_to_multiple(n_images, 32)))
+
+    jit_apply = jax.jit(apply_fn)
+    feats: List[np.ndarray] = []
+    for start in range(0, n_images, batch_size):
+        count = min(batch_size, n_images - start)
+        host = np.asarray(images(start, count))
+        if count < batch_size:  # pad tail to the compiled shape
+            pad = np.repeat(host[:1], batch_size - count, axis=0)
+            host = np.concatenate([host, pad])
+        x = jnp.asarray(host)
+        if mesh is not None:
+            x = jax.device_put(x, batch_sharding(mesh, x.ndim))
+        out = jit_apply(x)
+        if isinstance(out, (tuple, list)):  # classification models
+            out = out[0]
+        feats.append(np.asarray(out[:count], np.float32))
+    return np.concatenate(feats) if feats else np.zeros((0, feature_dim or 0), np.float32)
+
+
+# ------------------------------------------------------------- cache
+
+
+def save_image_features(
+    model_name: str,
+    dataset_name: str,
+    image_paths: Sequence[Path | str],
+    features: np.ndarray,
+    root: Path | str = Path("data/image_features"),
+    timestamp: Optional[str] = None,
+) -> str:
+    """Cache layout parity with reference `utils.py:265-284`."""
+    ts = timestamp or datetime.now().strftime("%Y-%m-%d_%H-%M")
+    folder = Path(root) / f"{model_name}_{dataset_name}_{ts}"
+    folder.mkdir(parents=True, exist_ok=True)
+    with open(folder / "image_paths.csv", "w") as f:
+        csv.writer(f).writerows([[str(p)] for p in image_paths])
+    np.save(folder / "image_features.npy", np.asarray(features, np.float32))
+    return folder.name
+
+
+def load_image_features(
+    folder_name: str, root: Path | str = Path("data/image_features")
+) -> Tuple[List[Path], np.ndarray]:
+    """Loads .npy caches and, for interop, reference-style
+    ``image_features.csv`` files (reference `utils.py:258-263`)."""
+    folder = Path(root) / folder_name
+    with open(folder / "image_paths.csv") as f:
+        paths = [Path(row[0]) for row in csv.reader(f) if row]
+    npy = folder / "image_features.npy"
+    if npy.is_file():
+        feats = np.load(npy)
+    else:
+        feats = np.loadtxt(folder / "image_features.csv", delimiter=",", dtype=np.float64)
+        feats = np.atleast_2d(feats)
+    return paths, feats

@@ -1,0 +1,132 @@
+"""Ranking + retrieval metrics with the reference's exact contract.
+
+Replaces the reference's per-sketch loop — one encoder call, one full
+pairwise distance, one full sort *per query* (reference `inference.py:94-136`)
+— with a single batched device program over all queries, plus host-side
+metric assembly:
+
+* positive-index lookup: filename-stem rules (sketchy ``id-number``, kaggle
+  ``id``, sketchit ``idx-id-random``, artworks full stem — reference
+  `inference.py:33-38`) via an O(1) stem dictionary instead of the O(N)
+  linear scan per query (reference `utils.py:22-25`);
+* metrics: MRR, top-1..10 accuracy, rank distribution
+  (pandas.describe parity), 10 seeded retrieval samples (stdlib random,
+  seed 11 — reference `inference.py:101-102`).
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from art_sbir_tpu.core.metrics import Timer
+from art_sbir_tpu.ops.distance import retrieve
+
+
+def sketch_stem_to_name(sketch_path: Path | str, artworks_gallery: bool) -> str:
+    """Reference `inference.py:33-37` stem-parsing rules."""
+    stem = Path(sketch_path).stem
+    parts = stem.split("-")
+    if len(parts) <= 2:
+        return stem if artworks_gallery else parts[0]
+    if len(parts) == 3:
+        return parts[1]
+    return stem
+
+
+def positive_indices(
+    sketch_paths: Sequence[Path | str], image_paths: Sequence[Path | str]
+) -> np.ndarray:
+    """First gallery index whose stem matches each sketch's parsed name;
+    -1 when missing (the reference records rank = N for those,
+    `inference.py:39-41`)."""
+    artworks = len(image_paths) > 0 and "artworks" in str(image_paths[0])
+    stem_to_idx: Dict[str, int] = {}
+    for i, p in enumerate(image_paths):
+        stem = Path(p).stem
+        if stem not in stem_to_idx:  # first match wins (reference semantics)
+            stem_to_idx[stem] = i
+    return np.array(
+        [stem_to_idx.get(sketch_stem_to_name(p, artworks), -1) for p in sketch_paths],
+        dtype=np.int32,
+    )
+
+
+def _describe(ranks_1based: np.ndarray) -> Dict[str, float]:
+    """pandas.describe() dict, matching reference `inference.py:123-132`."""
+    stats = pd.DataFrame(ranks_1based, columns=["rank"]).describe().to_dict()["rank"]
+    return {str(k): float(v) for k, v in stats.items()}
+
+
+def evaluate_retrieval(
+    query_features: np.ndarray,
+    gallery_features: np.ndarray,
+    sketch_paths: Sequence[Path | str],
+    image_paths: Sequence[Path | str],
+    loss_type: str = "euclidean",
+    k: int = 10,
+    start_time: Optional[float] = None,
+    query_chunk: int = 1024,
+    sample_seed: int = 11,
+    n_samples: int = 10,
+) -> Dict:
+    """Full retrieval eval -> the reference's inference dict schema."""
+    timer = Timer()
+    n_gallery = len(image_paths)
+    pos = positive_indices(sketch_paths, image_paths)
+    missing = pos < 0
+
+    gal = jnp.asarray(gallery_features, jnp.float32)
+    k_eff = min(k, n_gallery)  # tiny-gallery clamp; metrics still report k
+    ranks = np.zeros(len(sketch_paths), np.int64)
+    topk_idx = np.zeros((len(sketch_paths), k_eff), np.int64)
+    topk_val = np.zeros((len(sketch_paths), k_eff), np.float32)
+
+    for s in range(0, len(sketch_paths), query_chunk):
+        e = min(s + query_chunk, len(sketch_paths))
+        q = jnp.asarray(query_features[s:e], jnp.float32)
+        p = jnp.asarray(np.where(missing[s:e], 0, pos[s:e]))
+        r, v, i = retrieve(q, gal, p, k=k_eff, metric=loss_type)
+        ranks[s:e] = np.asarray(r)
+        topk_val[s:e] = np.asarray(v)
+        topk_idx[s:e] = np.asarray(i)
+
+    ranks[missing] = n_gallery  # reference returns len(image_paths)
+
+    ranks1 = ranks + 1
+    mrr = float(np.mean(1.0 / ranks1))
+    topk_acc = np.zeros(k)
+    for j in range(k):
+        topk_acc[j] = float(np.mean(ranks <= j))
+
+    # seeded retrieval samples: exact reference RNG (inference.py:100-102,120)
+    rng = random.Random()
+    rng.seed(sample_seed)
+    random_indices = [rng.randrange(0, len(sketch_paths)) for _ in range(n_samples)]
+    samples = []
+    seen = set()
+    for i in sorted(set(random_indices)):
+        if i in seen:
+            continue
+        seen.add(i)
+        entries = [
+            (str(image_paths[int(gi)]), float(gv))
+            for gi, gv in zip(topk_idx[i], topk_val[i])
+        ]
+        samples.append({str(sketch_paths[i]): entries})
+
+    elapsed = timer.elapsed() if start_time is None else timer.elapsed() + start_time
+    stats: Dict = {
+        "mean_reciprocal_rank": mrr,
+        "size": n_gallery,
+        "inference_time": elapsed,
+    }
+    stats.update(_describe(ranks1))
+    stats["topk_acc"] = [float(x) for x in topk_acc]
+    stats["retrieval_samples"] = samples
+    return stats

@@ -1,0 +1,240 @@
+"""Jitted triplet training: state, step functions, and the epoch driver.
+
+TPU-native replacement for the reference training loop (reference
+`train.py:39-98`):
+
+* the whole optimization step (3 encoder forwards + backward + Adam) is one
+  compiled XLA program; under a data mesh the batch is sharded and XLA
+  all-reduces gradients over ICI;
+* optimizer parity: torch ``Adam(lr, weight_decay)`` adds ``wd * p`` to the
+  gradient *before* the moment updates — ``optax.add_decayed_weights``
+  chained before ``optax.adam``;
+* BatchNorm faithfulness: the reference runs three *separate* forwards per
+  triplet, so each modality (sketch / pos / neg) is normalized by its own
+  batch statistics and running stats update sequentially — replicated here
+  by threading the batch_stats collection through three applies;
+* the reference's iteration-eval bug (it re-evaluates the *stale training
+  batch* instead of test batches, reference `train.py:79-81,89-91`) is
+  fixed: mini-evals consume real test batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from art_sbir_tpu.core.metrics import Timer
+from art_sbir_tpu.train.losses import TripletLossConfig, triplet_loss_with_heads
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def torch_adam(lr: float, weight_decay: float = 0.0,
+               betas=(0.9, 0.999), eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch.optim.Adam parity: L2 term added to the gradient pre-moments
+    (reference `train.py:158` uses Adam(lr=1e-5, weight_decay=2e-3))."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
+    return optax.chain(*parts)
+
+
+def create_train_state(
+    model, rng: jax.Array, input_shape: Tuple[int, ...],
+    lr: float = 1e-5, weight_decay: float = 2e-3,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    variables = jax.jit(model.init, static_argnames="train")(
+        rng, jnp.zeros(input_shape, jnp.float32), train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = tx or torch_adam(lr, weight_decay)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def _forward3(apply_fn, params, batch_stats, batch, train: bool):
+    """Three encoder applications — sketch, positive, negative — as ONE
+    vmapped apply over a stacked (3, B, ...) input.
+
+    Each modality is normalized by its own batch statistics (the reference
+    runs three separate forwards, `train.py:27-37`); vmap preserves that
+    (BN reduces within each slice) while tracing the model once — a third of
+    the XLA graph vs three sequential applies. Running stats are then
+    combined to the exact sequential-update result:
+
+      seq: s3 = s0*m^3 + (1-m)(b1*m^2 + b2*m + b3),  b_i = per-slice stats
+      vmap returns u_i = s0*m + (1-m) b_i  ->  b_i = (u_i - s0*m)/(1-m).
+    """
+    x3 = jnp.stack([batch["sketch"], batch["positive"], batch["negative"]])
+
+    if train:
+        def one(x):
+            return apply_fn(
+                {"params": params, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+
+        outs, muts = jax.vmap(one)(x3)
+        m = 0.9  # BN momentum used across the model zoo
+
+        def combine(s0, u):
+            b = (u - s0 * m) / (1.0 - m)  # (3, ...) recovered batch stats
+            return s0 * m**3 + (1.0 - m) * (
+                b[0] * m**2 + b[1] * m + b[2]
+            )
+
+        new_stats = jax.tree_util.tree_map(
+            combine, batch_stats, muts["batch_stats"]
+        )
+    else:
+        def one_eval(x):
+            return apply_fn(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+
+        outs = jax.vmap(one_eval)(x3)
+        new_stats = batch_stats
+
+    if isinstance(outs, tuple):  # classification models return tuples
+        split = [tuple(o[i] for o in outs) for i in range(3)]
+    else:
+        split = [outs[0], outs[1], outs[2]]
+    return split, new_stats
+
+
+def make_train_step(cfg: TripletLossConfig):
+    """Returns jitted train_step(state, batch) -> (state, metrics)."""
+
+    def loss_fn(params, state: TrainState, batch):
+        (s, p, n), new_stats = _forward3(
+            state.apply_fn, params, state.batch_stats, batch, train=True
+        )
+        losses = triplet_loss_with_heads(
+            cfg, s, p, n, batch.get("label"), batch.get("label2")
+        )
+        return losses["loss"], (losses, new_stats)
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_stats)), grads = grad_fn(state.params, state, batch)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return state, losses
+
+    return train_step
+
+
+def make_eval_step(cfg: TripletLossConfig):
+    @jax.jit
+    def eval_step(state: TrainState, batch) -> Dict:
+        (s, p, n), _ = _forward3(
+            state.apply_fn, state.params, state.batch_stats, batch, train=False
+        )
+        return triplet_loss_with_heads(
+            cfg, s, p, n, batch.get("label"), batch.get("label2")
+        )
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class TripletTrainer:
+    """Epoch driver with the reference's logging cadence (reference
+    `train.py:45-48`): iteration losses every ~10000/B train batches when
+    epochs <= 6, mini test evals of ~1000/B batches."""
+
+    cfg: TripletLossConfig
+    batch_size: int = 32
+    epochs: int = 1
+
+    def __post_init__(self):
+        self.train_step = make_train_step(self.cfg)
+        self.eval_step = make_eval_step(self.cfg)
+
+    def run(
+        self,
+        state: TrainState,
+        train_batches: Callable[[], Iterable[Dict]],
+        test_batches: Callable[[], Iterable[Dict]],
+        log: Callable[[str], None] = lambda s: print(s, flush=True),
+    ) -> Tuple[TrainState, Dict]:
+        timer = Timer()
+        iter_freq = 10000 // self.batch_size if self.epochs <= 6 else 0
+        itest_size = max(1000 // self.batch_size, 1)
+
+        train_losses, test_losses = [], []
+        itrain_losses, itest_losses = [], []
+
+        for epoch in range(self.epochs):
+            running, n_train = 0.0, 0
+            window = 0.0
+            for i, batch in enumerate(train_batches()):
+                state, losses = self.train_step(state, batch)
+                loss = float(losses["loss"])
+                running += loss
+                window += loss
+                n_train += 1
+                if iter_freq and i and i % iter_freq == 0:
+                    itrain_losses.append(window / iter_freq)
+                    window = 0.0
+                    # fixed: evaluate *fresh test batches*, not the stale
+                    # training batch (reference train.py:79-81 bug)
+                    acc, k = 0.0, 0
+                    for j, tb in enumerate(test_batches()):
+                        acc += float(self.eval_step(state, tb)["loss"])
+                        k += 1
+                        if j >= itest_size:
+                            break
+                    itest_losses.append(acc / max(k, 1))
+
+            acc, n_test = 0.0, 0
+            for tb in test_batches():
+                acc += float(self.eval_step(state, tb)["loss"])
+                n_test += 1
+            train_losses.append(running / max(n_train, 1))
+            test_losses.append(acc / max(n_test, 1))
+            log(
+                f"Epoch {epoch + 1} - Train loss: {train_losses[-1]:.5f} | "
+                f"Test loss: {test_losses[-1]:.5f}"
+            )
+
+        training_dict = {
+            "train_losses": train_losses,
+            "test_losses": test_losses,
+            "itrain_losses": itrain_losses,
+            "itest_losses": itest_losses,
+            "iteration_loss_frequency": iter_freq,
+            "iteration_test_size": itest_size,
+            "training_time": timer.elapsed(),
+        }
+        return state, training_dict

@@ -1,0 +1,115 @@
+"""Retrieval engine vs a hand-computed tiny gallery and a straightforward
+numpy re-derivation of the reference metric loop."""
+
+import numpy as np
+import jax
+
+from art_sbir_tpu.retrieval import embed as E
+from art_sbir_tpu.retrieval import rank as R
+
+
+def test_positive_index_rules():
+    image_paths = ["g/n123_45.jpg", "g/n200_1.jpg", "g/77.jpg"]
+    sketch_paths = [
+        "s/n123_45-2.png",  # sketchy: id-number -> n123_45
+        "s/77.png",  # kaggle: id
+        "s/0-n200_1-939.png",  # sketchit: idx-id-random -> n200_1
+        "s/none-here.png",  # missing -> -1
+    ]
+    pos = R.positive_indices(sketch_paths, image_paths)
+    assert list(pos) == [0, 2, 1, -1]
+
+
+def test_positive_index_artworks_rule():
+    image_paths = ["artworks/n123_45-2.jpg"]
+    pos = R.positive_indices(["s/n123_45-2.png"], image_paths)
+    assert list(pos) == [0]
+
+
+def test_evaluate_retrieval_tiny(rng):
+    # 4 gallery images; queries are noisy copies -> known ranks
+    d = 16
+    gal = rng.standard_normal((4, d)).astype(np.float32) * 5
+    image_paths = [f"g/img{i}.jpg" for i in range(4)]
+    sketch_paths = [f"s/img{i}-1.png" for i in range(4)]
+    queries = gal + 0.01
+
+    stats = R.evaluate_retrieval(queries, gal, sketch_paths, image_paths, k=4)
+    assert stats["mean_reciprocal_rank"] == 1.0
+    assert stats["topk_acc"][0] == 1.0
+    assert stats["size"] == 4
+    assert stats["count"] == 4.0
+    assert stats["mean"] == 1.0  # all ranks are 1 (1-based)
+    assert len(stats["retrieval_samples"]) >= 1
+    # sample entries: (path, distance) with top1 = own image
+    sample = stats["retrieval_samples"][0]
+    (spath, entries), = sample.items()
+    idx = int(spath.split("img")[1].split("-")[0])
+    assert entries[0][0] == f"g/img{idx}.jpg"
+
+
+def test_evaluate_retrieval_matches_numpy_loop(rng):
+    d, n, q = 8, 25, 12
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    image_paths = [f"g/{i}.jpg" for i in range(n)]
+    sketch_paths = [f"s/{i % n}-1.png" for i in range(q)]
+
+    stats = R.evaluate_retrieval(queries, gal, sketch_paths, image_paths, k=10)
+
+    # straightforward reference-loop re-derivation
+    ranks = []
+    for i in range(q):
+        dist = np.sqrt(((queries[i] - gal + 1e-6) ** 2).sum(-1))
+        order = np.argsort(dist, kind="stable")
+        ranks.append(int(np.nonzero(order == (i % n))[0][0]) + 1)
+    ranks = np.array(ranks)
+    np.testing.assert_allclose(
+        stats["mean_reciprocal_rank"], (1.0 / ranks).mean(), rtol=1e-6
+    )
+    np.testing.assert_allclose(stats["mean"], ranks.mean(), rtol=1e-6)
+    for j in range(10):
+        np.testing.assert_allclose(stats["topk_acc"][j], (ranks <= j + 1).mean())
+
+
+def test_missing_positive_gets_gallery_size_rank(rng):
+    gal = rng.standard_normal((5, 4)).astype(np.float32)
+    stats = R.evaluate_retrieval(
+        gal[:1], gal, ["s/unknown.png"], [f"g/{i}.jpg" for i in range(5)], k=5
+    )
+    assert stats["max"] == 6.0  # rank N + 1-based
+
+
+def test_embed_batched_pads_tail(rng):
+    # fake encoder: mean over pixels -> feature
+    def apply_fn(x):
+        return x.mean(axis=(1, 2))
+
+    imgs = rng.standard_normal((10, 8, 8, 3)).astype(np.float32)
+    feats = E.embed_batched(apply_fn, imgs, batch_size=4)
+    assert feats.shape == (10, 3)
+    np.testing.assert_allclose(feats, imgs.mean(axis=(1, 2)), rtol=1e-5)
+
+
+def test_feature_cache_roundtrip(tmp_path, rng):
+    feats = rng.standard_normal((6, 4)).astype(np.float32)
+    paths = [f"img{i}.jpg" for i in range(6)]
+    name = E.save_image_features("M", "D", paths, feats, root=tmp_path)
+    lp, lf = E.load_image_features(name, root=tmp_path)
+    assert [str(p) for p in lp] == paths
+    np.testing.assert_array_equal(lf, feats)
+
+
+def test_feature_cache_reads_reference_csv(tmp_path, rng):
+    """Interop with caches produced by the reference (CSV floats)."""
+    import csv
+
+    folder = tmp_path / "legacy"
+    folder.mkdir()
+    feats = rng.standard_normal((3, 4))
+    with open(folder / "image_paths.csv", "w") as f:
+        csv.writer(f).writerows([[f"p{i}.jpg"] for i in range(3)])
+    with open(folder / "image_features.csv", "w") as f:
+        csv.writer(f).writerows(feats)
+    lp, lf = E.load_image_features("legacy", root=tmp_path)
+    np.testing.assert_allclose(lf, feats, rtol=1e-12)

@@ -1,0 +1,99 @@
+"""Multi-chip path on the virtual 8-device CPU mesh: DP training step with
+sharded batch + retrieval with a row-sharded gallery (SURVEY.md §2.9)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from art_sbir_tpu.parallel import (
+    batch_sharding,
+    data_mesh,
+    gallery_sharding,
+    replicated,
+    shard_batch,
+)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_shard_batch_places_dim0():
+    mesh = data_mesh(8)
+    x = np.zeros((16, 4), np.float32)
+    out = shard_batch(mesh, {"a": x})
+    shard_shapes = [s.data.shape for s in out["a"].addressable_shards]
+    assert all(s == (2, 4) for s in shard_shapes)
+
+
+def test_dp_train_step_matches_single_device(rng):
+    """Gradient all-reduce over the mesh == single-device computation."""
+    from art_sbir_tpu.models.resnet import ModifiedResNet
+    from art_sbir_tpu.train.losses import TripletLossConfig
+    from art_sbir_tpu.train.triplet import create_train_state, make_train_step
+
+    import optax
+
+    model = ModifiedResNet(
+        layers=(1, 1, 1, 1), output_dim=16, heads=4, input_resolution=32, width=8
+    )
+    # SGD so the param delta IS the gradient (Adam's first step is sign-like
+    # and amplifies fp-reassociation noise on near-zero grads to +-lr)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3),
+                               tx=optax.sgd(1.0))
+    step = make_train_step(TripletLossConfig())
+
+    mk = lambda: rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    host_batch = {"sketch": mk(), "positive": mk(), "negative": mk()}
+
+    # single device
+    s1, l1 = step(state, {k: jnp.asarray(v) for k, v in host_batch.items()})
+
+    # 8-device data parallel
+    mesh = data_mesh(8)
+    state_r = jax.device_put(state, replicated(mesh))
+    batch_s = shard_batch(mesh, host_batch)
+    s8, l8 = step(state_r, batch_s)
+
+    np.testing.assert_allclose(float(l1["loss"]), float(l8["loss"]), rtol=1e-5)
+    # elementwise comparison is too strict: BN bias grads are heavily
+    # cancelling sums whose fp reassociation differs across partitionings.
+    # compare the whole gradient vector: relative L2 error + direction.
+    g1 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(s1.params)])
+    g8 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(s8.params)])
+    rel_l2 = np.linalg.norm(g1 - g8) / np.linalg.norm(g1)
+    cos = np.dot(g1, g8) / (np.linalg.norm(g1) * np.linalg.norm(g8))
+    assert rel_l2 < 1e-2, rel_l2
+    assert cos > 0.9999, cos
+
+
+def test_sharded_gallery_retrieval_matches_replicated(rng):
+    from art_sbir_tpu.ops.distance import retrieve
+
+    mesh = data_mesh(8)
+    gal = rng.standard_normal((64, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    pos = np.array([3, 10, 40, 63], np.int32)
+
+    r0, v0, i0 = retrieve(jnp.asarray(q), jnp.asarray(gal), jnp.asarray(pos), k=5)
+
+    gal_s = jax.device_put(jnp.asarray(gal), gallery_sharding(mesh))
+    q_r = jax.device_put(jnp.asarray(q), replicated(mesh))
+    p_r = jax.device_put(jnp.asarray(pos), replicated(mesh))
+    rep = replicated(mesh)
+    r1, v1, i1 = jax.jit(
+        lambda qq, gg, pp: retrieve(qq, gg, pp, k=5), out_shardings=(rep, rep, rep)
+    )(q_r, gal_s, p_r)
+
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,85 @@
+"""GAN and VAE jitted trainers on tiny shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from art_sbir_tpu.train.gan import Pix2Pix, Pix2PixConfig
+from art_sbir_tpu.train.vae import VAEConfig, VAETrainer, kl_weight_at
+
+
+def _gan_batch(rng, b=2, s=64):
+    return {
+        "A": jnp.array(rng.random((b, s, s, 3)).astype(np.float32)),
+        "B": jnp.array(rng.random((b, s, s, 1)).astype(np.float32)),
+    }
+
+
+def test_pix2pix_step_runs_and_updates(rng):
+    cfg = Pix2PixConfig(image_size=64, ngf=8, ndf=8)
+    model = Pix2Pix(cfg, jax.random.key(0))
+    batch = _gan_batch(rng)
+    before = jax.tree_util.tree_leaves(model.g.params)[0].copy()
+    losses = model.train_step(batch, jax.random.key(1))
+    for k in ("G_GAN", "G_L1", "D_real", "D_fake", "G_total", "D_total"):
+        assert np.isfinite(float(losses[k])), k
+    after = jax.tree_util.tree_leaves(model.g.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_pix2pix_decoder_only_freezes_generator(rng):
+    cfg = Pix2PixConfig(image_size=64, ngf=8, ndf=8)
+    model = Pix2Pix(cfg, jax.random.key(0))
+    batch = _gan_batch(rng)
+    g_before = jax.tree_util.tree_leaves(model.g.params)[0].copy()
+    d_before = jax.tree_util.tree_leaves(model.d.params)[0].copy()
+    losses = model.train_step(batch, jax.random.key(1), decoder_only=True)
+    assert float(losses["G_total"]) == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(g_before), np.asarray(jax.tree_util.tree_leaves(model.g.params)[0])
+    )
+    assert not np.allclose(
+        np.asarray(d_before), np.asarray(jax.tree_util.tree_leaves(model.d.params)[0])
+    )
+
+
+def test_pix2pix_eval_and_generate(rng):
+    cfg = Pix2PixConfig(image_size=64, ngf=8, ndf=8)
+    model = Pix2Pix(cfg, jax.random.key(0))
+    batch = _gan_batch(rng)
+    losses = model.eval_losses(batch)
+    assert np.isfinite(float(losses["G_total"]))
+    fake = model.generate(batch["A"])
+    assert fake.shape == (2, 64, 64, 1)
+
+
+def test_vae_schedules():
+    cfg = VAEConfig()
+    w0 = float(kl_weight_at(cfg, 0))
+    w_inf = float(kl_weight_at(cfg, 200000))
+    np.testing.assert_allclose(w0, cfg.kl_weight_start, rtol=1e-5)
+    assert w_inf > 0.99  # warms up toward kl_weight
+
+
+def test_vae_trainer_step(rng):
+    cfg = VAEConfig(z_size=8, dec_rnn_size=16, num_mixture=4, max_seq_len=10,
+                    image_size=64)
+    trainer = VAETrainer(cfg, jax.random.key(0))
+    batch = {
+        "photo": jnp.array(rng.standard_normal((2, 64, 64, 3)).astype(np.float32)),
+        "sketch_vector": jnp.array(
+            rng.standard_normal((2, 10, 5)).astype(np.float32)
+        ),
+        "length": jnp.array([8, 9]),
+    }
+    losses = trainer.train_step(batch, jax.random.key(1))
+    for k in ("total_loss", "kl_loss", "reconstruction_loss"):
+        assert np.isfinite(float(losses[k])), k
+    assert float(losses["kl_loss"]) >= cfg.kl_tolerance - 1e-6
+
+    l2 = trainer.train_step(batch, jax.random.key(2))
+    assert np.isfinite(float(l2["total_loss"]))
+
+    strokes, alphas = trainer.generate(batch["photo"], jax.random.key(3),
+                                       num_steps=11)
+    assert strokes.shape == (2, 11, 5)
