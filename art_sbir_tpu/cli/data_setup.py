@@ -46,10 +46,13 @@ def unpack(archive: Path, dest: Path) -> None:
 
 
 def build_kaggle_split(
-    kaggle_dir: Path, test_fraction: float = 0.1, seed: int = 42
+    kaggle_dir: Path, test_size: int = 6000, seed: int = 2,
+    min_count: int = 100,
 ) -> None:
     """Build kaggle_art_dataset_{train,test}.csv from an all-data CSV with
-    filename/style/genre columns (reference `kaggle_info.py:43-48`)."""
+    filename/style/genre columns — the reference recipe
+    (`data/kaggle/kaggle_info.py`): drop genres and styles with fewer than
+    100 images, then train_test_split(test_size=6000, random_state=2)."""
     import numpy as np
     import pandas as pd
 
@@ -59,20 +62,42 @@ def build_kaggle_split(
     df = pd.read_csv(src)
     cols = {"new_filename": "filename"} if "new_filename" in df.columns else {}
     df = df.rename(columns=cols)[["filename", "style", "genre"]].dropna()
+
+    for col in ("genre", "style"):
+        counts = df.groupby(col)["filename"].count()
+        df = df[df[col].isin(counts[counts >= min_count].index)]
+
     rng = np.random.RandomState(seed)
     perm = rng.permutation(len(df))
-    n_test = int(len(df) * test_fraction)
-    df.iloc[perm[n_test:]].to_csv(kaggle_dir / "kaggle_art_dataset_train.csv",
-                                  index=False)
-    df.iloc[perm[:n_test]].to_csv(kaggle_dir / "kaggle_art_dataset_test.csv",
-                                  index=False)
+    n_test = min(test_size, len(df) // 10)
+    test = df.iloc[perm[:n_test]].reset_index(drop=True)
+    train = df.iloc[perm[n_test:]]
+    train.to_csv(kaggle_dir / "kaggle_art_dataset_train.csv", index=False)
+    test.to_csv(kaggle_dir / "kaggle_art_dataset_test.csv", index=False)
     print("kaggle CSV splits written", flush=True)
+
+
+def copy_test_images(kaggle_dir: Path, source_dir: Path) -> None:
+    """Copy the test split's images into data/kaggle/photos/test
+    (reference `get_kaggle_test.py`)."""
+    import csv
+    import shutil
+
+    dest = kaggle_dir / "photos" / "test"
+    dest.mkdir(parents=True, exist_ok=True)
+    with open(kaggle_dir / "kaggle_art_dataset_test.csv", newline="") as f:
+        for row in csv.DictReader(f):
+            shutil.copy(source_dir / row["filename"], dest / row["filename"])
+    print(f"test images copied to {dest}", flush=True)
 
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="dataset download / preparation")
     p.add_argument("--sketchy_download", action="store_true")
     p.add_argument("--kaggle_split", action="store_true")
+    p.add_argument("--kaggle_copy_test", type=str, default=None,
+                   help="source image dir; copies the test split's images "
+                        "(reference get_kaggle_test.py)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate miniature synthetic corpora for smoke runs")
     p.add_argument("--root", type=str, default="data")
@@ -102,6 +127,8 @@ def main(argv=None) -> None:
                       f"{url} into {sk}", flush=True)
     if args.kaggle_split:
         build_kaggle_split(root / "kaggle")
+    if args.kaggle_copy_test:
+        copy_test_images(root / "kaggle", Path(args.kaggle_copy_test))
 
 
 if __name__ == "__main__":

@@ -133,6 +133,27 @@ def main() -> None:
     except Exception as e:  # encoder bench is diagnostic only
         log(f"encoder bench skipped: {e}")
 
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
+
+        g = jnp.asarray(gallery)
+        q = jnp.asarray(queries)
+        p = jnp.asarray(pos)
+        outs = retrieve_fused(q, g, p, k=10, precision="default")
+        jax.block_until_ready(outs)
+        t0 = time.perf_counter()
+        outs = [retrieve_fused(jnp.roll(q, s, 0), g, p, k=10,
+                               precision="default") for s in range(10)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / 10
+        log(f"fused pallas kernel: {len(queries) / dt:.0f} qps "
+            f"(single-pass, O(QK) memory)")
+    except Exception as e:
+        log(f"fused kernel bench skipped: {e}")
+
     print(
         json.dumps(
             {
