@@ -38,12 +38,21 @@ def rerun_folder(folder: str, results_root: Path, models_root: Path,
     if "Mixed" in dataset and "version" in data_dict:
         dataset = dataset + data_dict["version"]
     loss_type = param_dict.get("loss_type", "euclidean")
-    model_type = folder.split("_")[0]
-    with_classification = "with" in folder or model_type not in ("ModifiedResNet",)
+    model_type = param_dict.get("model_type") or folder.split("_")[0]
+    with_classification = "with_classification" in model_type or (
+        "WithClassification" in folder
+    )
+    image_size = int(param_dict.get("image_size", 224))
 
-    model = create_encoder(with_classification=with_classification,
-                           dtype=jnp.bfloat16)
-    state = create_train_state(model, jax.random.key(0), (1, 224, 224, 3))
+    model = create_encoder(
+        with_classification=with_classification,
+        num_classes=int(param_dict.get("num_classes", 125)),
+        num_classes2=int(param_dict.get("num_classes2", 0)),
+        dtype=jnp.bfloat16,
+        input_resolution=image_size,
+    )
+    state = create_train_state(model, jax.random.key(0),
+                               (1, image_size, image_size, 3))
     ckpt = models_root / folder
     if ckpt.exists():
         restored = load_pytree(ckpt, {"params": state.params,
@@ -70,6 +79,7 @@ def rerun_folder(folder: str, results_root: Path, models_root: Path,
         return out[0] if isinstance(out, tuple) else out
 
     inference_dict = run_inference(forward, test_cat, None, loss_type,
+                                   image_size=image_size,
                                    model_name=type(model).__name__)
     (run_dir / "inference_updated.json").write_text(
         json.dumps(inference_dict, indent=4, default=float)

@@ -48,6 +48,9 @@ def main(argv=None) -> None:
                    choices=["vanilla", "lsgan", "wgangp"])
     p.add_argument("--dataset", default="SketchyPix2Pix",
                    choices=["SketchyPix2Pix", "KaggleDatasetImgOnlyV1"])
+    p.add_argument("--img_type", default=None,
+                   help="image folder (default: 'images' for Kaggle, "
+                        "'photos' for Sketchy — reference pix2pix_main.py:188)")
     p.add_argument("-s", "--dsize", type=float, default=1.0)
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--image_size", type=int, default=256)
@@ -72,8 +75,12 @@ def main(argv=None) -> None:
         model.g = model.g.replace(**restored["g"])
         model.d = model.d.replace(**restored["d"])
 
+    img_type = args.img_type or (
+        "images" if "Kaggle" in args.dataset else "photos"
+    )
     train_cat, test_cat = get_datasets(
-        dataset=args.dataset, size=args.dsize, root=args.data_root
+        dataset=args.dataset, size=args.dsize, root=args.data_root,
+        img_type=img_type,
     )
 
     def batches(catalog, train: bool, rng: np.random.Generator):

@@ -145,6 +145,8 @@ def main(argv=None) -> Path:
         "loss_margin": args.loss_margin, "loss_type": args.loss_type,
         "loss_weights": [loss_cfg.classification_weight,
                          loss_cfg.classification_weight2],
+        "model_type": args.model_type, "num_classes": args.num_classes,
+        "num_classes2": num_classes2, "image_size": args.image_size,
     }
     data_dict = train_cat.state_dict
     print(param_dict, flush=True)

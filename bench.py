@@ -94,10 +94,12 @@ def bench_encoder() -> float:
     from art_sbir_tpu.models.resnet import ModifiedResNet
 
     model = ModifiedResNet(dtype=jnp.bfloat16)
-    batch = 64
+    batch = 256  # best measured throughput point on v5e (see enc scaling)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, 224, 224, 3)),
                     jnp.float32)
-    variables = model.init(jax.random.key(0), x, train=False)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.key(0), x[:8], train=False
+    )
     fwd = jax.jit(lambda im: model.apply(variables, im, train=False))
     fwd(x).block_until_ready()
     runs = 10
@@ -129,7 +131,7 @@ def main() -> None:
 
     try:
         enc = bench_encoder()
-        log(f"encoder: {enc:.1f} gallery embeddings/sec/chip (bf16, batch 64)")
+        log(f"encoder: {enc:.1f} gallery embeddings/sec/chip (bf16, batch 256)")
     except Exception as e:  # encoder bench is diagnostic only
         log(f"encoder bench skipped: {e}")
 
