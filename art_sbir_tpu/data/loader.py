@@ -19,6 +19,10 @@ from PIL import Image
 
 from art_sbir_tpu.ops.resize import center_crop_slices, shortest_side_size
 
+# the Kaggle corpus contains one 283-megapixel scan (reference
+# `data_preparation.py:489`); keep PIL's decompression-bomb guard above it
+Image.MAX_IMAGE_PIXELS = max(Image.MAX_IMAGE_PIXELS or 0, 283_327_980)
+
 
 def decode_image(
     path: Path | str, size: int, resize_mode: str = "square", grayscale: bool = False
