@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="epoch-tagged resumable checkpoints (orbax)")
+    p.add_argument("--checkpoint_every", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in checkpoint_dir")
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of training")
     return p
 
 
@@ -154,10 +161,31 @@ def main(argv=None) -> Path:
 
     training_dict = {}
     if not args.no_training:
-        trainer = TripletTrainer(loss_cfg, args.batch_size, args.epochs)
-        state, training_dict = trainer.run(
-            state, device_batches(train_cat, True), device_batches(test_cat, False)
+        mgr = None
+        start_epoch = 0
+        if args.checkpoint_dir:
+            from art_sbir_tpu.core.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(args.checkpoint_dir)
+            if args.resume and mgr.latest_step() is not None:
+                restored = mgr.restore(
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state, "step": state.step}
+                )
+                state = state.replace(**restored)
+                start_epoch = int(mgr.latest_step())
+                print(f"Resumed from epoch {start_epoch}", flush=True)
+        from art_sbir_tpu.core.metrics import maybe_profile
+
+        trainer = TripletTrainer(
+            loss_cfg, args.batch_size, args.epochs,
+            checkpoint_manager=mgr, checkpoint_every_epochs=args.checkpoint_every,
         )
+        with maybe_profile(args.trace_dir):
+            state, training_dict = trainer.run(
+                state, device_batches(train_cat, True),
+                device_batches(test_cat, False), start_epoch=start_epoch,
+            )
 
     inference_dict = {}
     if args.inference:

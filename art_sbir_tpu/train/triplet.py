@@ -176,6 +176,8 @@ class TripletTrainer:
     cfg: TripletLossConfig
     batch_size: int = 32
     epochs: int = 1
+    checkpoint_manager: Optional[Any] = None  # core.checkpoint.CheckpointManager
+    checkpoint_every_epochs: int = 1
 
     def __post_init__(self):
         self.train_step = make_train_step(self.cfg)
@@ -187,6 +189,7 @@ class TripletTrainer:
         train_batches: Callable[[], Iterable[Dict]],
         test_batches: Callable[[], Iterable[Dict]],
         log: Callable[[str], None] = lambda s: print(s, flush=True),
+        start_epoch: int = 0,
     ) -> Tuple[TrainState, Dict]:
         timer = Timer()
         iter_freq = 10000 // self.batch_size if self.epochs <= 6 else 0
@@ -194,13 +197,16 @@ class TripletTrainer:
 
         train_losses, test_losses = [], []
         itrain_losses, itest_losses = [], []
+        step_times = []
 
-        for epoch in range(self.epochs):
+        for epoch in range(start_epoch, self.epochs):
             running, n_train = 0.0, 0
             window = 0.0
+            step_timer = Timer(device_sync=False)
             for i, batch in enumerate(train_batches()):
                 state, losses = self.train_step(state, batch)
-                loss = float(losses["loss"])
+                loss = float(losses["loss"])  # blocks: true per-step time
+                step_times.append(step_timer.restart())
                 running += loss
                 window += loss
                 n_train += 1
@@ -227,6 +233,15 @@ class TripletTrainer:
                 f"Epoch {epoch + 1} - Train loss: {train_losses[-1]:.5f} | "
                 f"Test loss: {test_losses[-1]:.5f}"
             )
+            if (
+                self.checkpoint_manager is not None
+                and (epoch + 1) % self.checkpoint_every_epochs == 0
+            ):
+                self.checkpoint_manager.save(
+                    epoch + 1,
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state, "step": state.step},
+                )
 
         training_dict = {
             "train_losses": train_losses,
@@ -236,5 +251,10 @@ class TripletTrainer:
             "iteration_loss_frequency": iter_freq,
             "iteration_test_size": itest_size,
             "training_time": timer.elapsed(),
+            # per-step device timing — new observability vs the reference's
+            # wall-clock-only tracing (SURVEY.md §5.1)
+            "steps": len(step_times),
+            "mean_step_time": float(sum(step_times) / len(step_times))
+            if step_times else 0.0,
         }
         return state, training_dict
