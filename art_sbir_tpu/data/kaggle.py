@@ -187,6 +187,11 @@ class AugmentedKaggleCatalogV1(KaggleCatalogV1):
     name = "AugmentedKaggleDatasetV1"
     augment_sketches = 1  # sketch_transformV1
 
+    def item(self, idx: int) -> Dict:
+        out = super().item(idx)
+        out["augment"] = 1
+        return out
+
     @property
     def state_dict(self):
         d = super().state_dict
@@ -198,6 +203,11 @@ class AugmentedKaggleCatalogV1(KaggleCatalogV1):
 class AugmentedKaggleCatalogV2(KaggleCatalogV2):
     name = "AugmentedKaggleDatasetV2"
     augment_sketches = 1
+
+    def item(self, idx: int) -> Dict:
+        out = super().item(idx)
+        out["augment"] = 1
+        return out
 
     @property
     def state_dict(self):

@@ -100,7 +100,7 @@ class TripletLoader:
             if key not in items[0]:
                 continue
             batch[key] = np.stack([self._decode(it[key]) for it in items])
-        for lk in ("label", "label2"):
+        for lk in ("label", "label2", "augment"):
             if lk in items[0]:
                 batch[lk] = np.asarray([it[lk] for it in items], np.int32)
         return batch

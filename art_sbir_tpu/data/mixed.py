@@ -75,10 +75,20 @@ class MixedCatalog:
             return self.kaggle, (idx // 2) % len(self.kaggle)
         return self.sketchy, ((idx - 1) // 2) % len(self.sketchy)
 
+    @property
+    def augment_sketches(self) -> int:
+        """Device-side augmentation applies to the Kaggle-sourced samples
+        only (the reference's Augmented sub-dataset transforms its own
+        items, `data_preparation.py:644-657`); the per-item 'augment' mask
+        carries this to the batch finisher."""
+        return getattr(self.kaggle, "augment_sketches", 0)
+
     def item(self, idx: int) -> Dict:
         src, j = self._route(idx)
         it = src.item(j)
-        return {k: it[k] for k in ("sketch", "positive", "negative")}
+        out = {k: it[k] for k in ("sketch", "positive", "negative")}
+        out["augment"] = int(it.get("augment", 0)) if src is self.kaggle else 0
+        return out
 
     @property
     def state_dict(self) -> Dict:
@@ -109,6 +119,7 @@ class CategorizedMixedCatalogV2(MixedCatalog):
         src, j = self._route(idx)
         it = src.item(j)
         out = {k: it[k] for k in ("sketch", "positive", "negative")}
+        out["augment"] = int(it.get("augment", 0)) if src is self.kaggle else 0
         if src is self.kaggle:
             out["label"] = it["label2"]  # genre head
         else:

@@ -42,16 +42,29 @@ def finish_triplet_batch(
         for k in ("sketch", "positive", "negative")
         if k in batch
     }
+    # per-sample mask: Mixed datasets augment only their Kaggle-sourced
+    # samples (reference data_preparation.py:748-753 routing into the
+    # Augmented sub-dataset); all-ones when the catalog doesn't mask
+    mask = batch.get("augment")
+    sel = None
+    if mask is not None:
+        sel = (mask > 0)[:, None, None, None]
+
     if train and flip and key is not None:
         kf, key = jax.random.split(key)
-        f["sketch"], f["positive"], f["negative"] = paired_hflip(
-            kf, f["sketch"], f["positive"], f["negative"]
-        )
+        fs, fp, fn = paired_hflip(kf, f["sketch"], f["positive"], f["negative"])
+        if sel is not None:
+            fs = jnp.where(sel, fs, f["sketch"])
+            fp = jnp.where(sel, fp, f["positive"])
+            fn = jnp.where(sel, fn, f["negative"])
+        f["sketch"], f["positive"], f["negative"] = fs, fp, fn
     if train and augment_version and key is not None:
         ka, key = jax.random.split(key)
-        f["sketch"] = sketch_augment(
+        augmented = sketch_augment(
             f["sketch"], ka, version=augment_version, do_normalize=True
         )
+        plain = normalize(f["sketch"], CLIP_MEAN, CLIP_STD)
+        f["sketch"] = jnp.where(sel, augmented, plain) if sel is not None else augmented
         for k in ("positive", "negative"):
             f[k] = normalize(f[k], CLIP_MEAN, CLIP_STD)
     else:

@@ -52,3 +52,36 @@ def test_finish_gallery(rng):
     out = np.asarray(finish_gallery_batch(x))
     assert out.dtype == np.float32
     assert np.isfinite(out).all()
+
+
+def test_finish_respects_augment_mask(rng):
+    batch = _uint8_batch(rng)
+    batch["augment"] = jnp.asarray([1, 0, 1, 0], jnp.int32)
+    key = jax.random.key(7)
+    out = finish_triplet_batch(batch, key, augment_version=1, flip=True,
+                               train=True)
+    base = finish_triplet_batch(batch, train=False)
+    out_s, base_s = np.asarray(out["sketch"]), np.asarray(base["sketch"])
+    # masked-off samples match the plain normalize path (different compiled
+    # programs -> fp-fusion tolerance); masked-on samples are transformed
+    np.testing.assert_allclose(out_s[1], base_s[1], atol=1e-5)
+    np.testing.assert_allclose(out_s[3], base_s[3], atol=1e-5)
+    assert not np.allclose(out_s[0], base_s[0], atol=1e-3)
+
+
+def test_mixed_catalog_augment_mask(tmp_path, rng):
+    from art_sbir_tpu.data import get_datasets
+    from art_sbir_tpu.data.synthetic import (
+        make_synthetic_kaggle,
+        make_synthetic_sketchy,
+    )
+
+    kroot = make_synthetic_kaggle(tmp_path / "kaggle")
+    sroot = make_synthetic_sketchy(tmp_path / "sketchy")
+    train, _ = get_datasets(
+        "MixedDatasetV1", size=1.0, root_kaggle=kroot, root_sketchy=sroot,
+        sketch_type="contour_drawings",
+    )
+    assert train.augment_sketches == 1
+    assert train.item(0)["augment"] == 1  # even -> kaggle (augmented)
+    assert train.item(1)["augment"] == 0  # odd -> sketchy (plain)
