@@ -163,6 +163,16 @@ def main(argv=None) -> None:
                     trips.append((photo01, 255 - gen_raster[i], 255 - tgt_raster[i]))
                     build_svg(np.asarray(strokes[i]), (256, 256),
                               writer.path / f"sample_{epoch + 1}_{i}.svg")
+                    # stroke-5 JSON next to the SVG (reference
+                    # semiSupervised_main.py:155-182 sample exports)
+                    import json
+
+                    (writer.path / f"sample_{epoch + 1}_{i}.json").write_text(
+                        json.dumps({
+                            "shape": [256, 256],
+                            "image": np.asarray(strokes[i]).tolist(),
+                        })
+                    )
                 triplet_grid(trips, writer.path / f"samples_{epoch + 1}.png",
                              titles=("photo", "generated", "target"))
                 break
