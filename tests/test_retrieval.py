@@ -113,3 +113,23 @@ def test_feature_cache_reads_reference_csv(tmp_path, rng):
         csv.writer(f).writerows(feats)
     lp, lf = E.load_image_features("legacy", root=tmp_path)
     np.testing.assert_allclose(lf, feats, rtol=1e-12)
+
+
+def test_retrieval_samples_seed_matches_reference_rng(rng):
+    """The 10 sample indices come from stdlib random seeded with 11 —
+    exactly the reference's sequence (inference.py:101-102)."""
+    import random
+
+    d, n = 8, 40
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    sketch_paths = [f"s/{i}-1.png" for i in range(n)]
+    image_paths = [f"g/{i}.jpg" for i in range(n)]
+    stats = R.evaluate_retrieval(gal, gal, sketch_paths, image_paths, k=5)
+
+    random.seed(11)
+    expected = sorted({random.randrange(0, n) for _ in range(10)})
+    got = sorted(
+        int(list(s.keys())[0].split("/")[1].split("-")[0])
+        for s in stats["retrieval_samples"]
+    )
+    assert got == expected
