@@ -97,3 +97,18 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_embed_batched_under_mesh(rng):
+    """Gallery embedding with the batch axis sharded over the mesh."""
+    from art_sbir_tpu.retrieval.embed import embed_batched
+
+    mesh = data_mesh(8)
+
+    def apply_fn(x):
+        return x.mean(axis=(1, 2))
+
+    imgs = rng.standard_normal((40, 8, 8, 3)).astype(np.float32)
+    feats = embed_batched(apply_fn, imgs, batch_size=32, mesh=mesh)
+    assert feats.shape == (40, 3)
+    np.testing.assert_allclose(feats, imgs.mean(axis=(1, 2)), rtol=1e-5)
