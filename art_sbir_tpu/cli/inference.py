@@ -78,8 +78,11 @@ def rerun_folder(folder: str, results_root: Path, models_root: Path,
         )
         return out[0] if isinstance(out, tuple) else out
 
+    # honor the geometry the run recorded; None -> family default
+    resize_mode = param_dict.get("resize_mode") or data_dict.get("resize_mode")
     inference_dict = run_inference(forward, test_cat, None, loss_type,
                                    image_size=image_size,
+                                   resize_mode=resize_mode,
                                    model_name=type(model).__name__)
     (run_dir / "inference_updated.json").write_text(
         json.dumps(inference_dict, indent=4, default=float)

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss_type", default="euclidean",
                    choices=["euclidean", "cosine"])
     p.add_argument("--loss_margin", type=float, default=0.2)
+    p.add_argument("--resize_mode", default="auto",
+                   choices=["auto", "square", "shortest_crop"],
+                   help="host decode geometry; 'auto' = the dataset family's "
+                        "reference-parity default (shortest-side resize + "
+                        "center crop for Sketchy/Kaggle, square for "
+                        "Augmented/Mixed)")
     # TPU-framework additions
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--image_size", type=int, default=224)
@@ -130,8 +136,11 @@ def main(argv=None) -> Path:
     flip = augment_version > 0
     rng = np.random.default_rng(args.seed)
 
+    resize_mode = None if args.resize_mode == "auto" else args.resize_mode
+
     def device_batches(catalog, train: bool):
-        loader = TripletLoader(catalog, args.batch_size, args.image_size)
+        loader = TripletLoader(catalog, args.batch_size, args.image_size,
+                               resize_mode=resize_mode)
 
         def gen():
             for batch in loader:
@@ -154,6 +163,8 @@ def main(argv=None) -> Path:
                          loss_cfg.classification_weight2],
         "model_type": args.model_type, "num_classes": args.num_classes,
         "num_classes2": num_classes2, "image_size": args.image_size,
+        "resize_mode": resize_mode
+        or getattr(train_cat, "resize_mode", "square"),
     }
     data_dict = train_cat.state_dict
     print(param_dict, flush=True)
@@ -207,8 +218,8 @@ def main(argv=None) -> Path:
                 kq = None
         inference_dict = run_inference(
             forward, test_cat, args.feature_folder, args.loss_type,
-            image_size=args.image_size, model_name=type(model).__name__,
-            kaggle_queries=kq,
+            image_size=args.image_size, resize_mode=resize_mode,
+            model_name=type(model).__name__, kaggle_queries=kq,
         )
 
     writer = ResultsWriter(type(model).__name__, data_dict["dataset"],

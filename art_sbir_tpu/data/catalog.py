@@ -30,6 +30,14 @@ class RetrievalCatalog:
 
     name = "RetrievalCatalog"
 
+    #: Host-decode geometry matching the transform the reference hands this
+    #: dataset family. Plain catalogs receive ``model.transform`` =
+    #: Resize(shortest side, bicubic) + CenterCrop (reference
+    #: `models.py:289-295`, passed at `train.py:152` / `inference.py:148`);
+    #: Augmented/Mixed families override it to square Resize((S, S))
+    #: (`data_preparation.py:641,670,725`) and set ``"square"`` instead.
+    resize_mode = "shortest_crop"
+
     def __init__(
         self,
         sketch_format="png",
@@ -40,7 +48,6 @@ class RetrievalCatalog:
         size=0.1,
         seed=42,
     ):
-        random.seed(seed)
         self.rng = random.Random(seed)
         self.mode, self.split_ratio, self.size, self.seed = mode, split_ratio, size, seed
         self.sketch_format, self.img_format, self.img_type = (
@@ -90,7 +97,8 @@ class RetrievalCatalog:
             "seed": self.seed,
             "split_ratio": self.split_ratio,
             "mode": self.mode,
-            "transform": "device: bicubic224 + CLIP normalize",
+            "transform": f"host: {self.resize_mode} bicubic + device: CLIP normalize",
+            "resize_mode": self.resize_mode,
         }
 
 

@@ -186,6 +186,10 @@ class AugmentedKaggleCatalogV1(KaggleCatalogV1):
 
     name = "AugmentedKaggleDatasetV1"
     augment_sketches = 1  # sketch_transformV1
+    # the reference Augmented datasets discard the passed model.transform
+    # and use image_transformV1 = square Resize((224,224))
+    # (`data_preparation.py:641`, `transformations.py:9-15`)
+    resize_mode = "square"
 
     def item(self, idx: int) -> Dict:
         out = super().item(idx)
@@ -203,6 +207,7 @@ class AugmentedKaggleCatalogV1(KaggleCatalogV1):
 class AugmentedKaggleCatalogV2(KaggleCatalogV2):
     name = "AugmentedKaggleDatasetV2"
     augment_sketches = 1
+    resize_mode = "square"  # reference data_preparation.py:670
 
     def item(self, idx: int) -> Dict:
         out = super().item(idx)
@@ -222,6 +227,11 @@ class KaggleInferenceCatalogV1:
     ``valid == 1``), query-only (reference `data_preparation.py:696-722`)."""
 
     name = "KaggleInferenceDatasetV1"
+
+    # the reference passes the *calling* dataset's transform
+    # (`inference.py:158`); run_inference resolves the mode from the main
+    # dataset, so this default only matters for standalone use
+    resize_mode = "shortest_crop"
 
     def __init__(self, sketch_type="sketches", sketch_format="png",
                  root: Optional[Path] = None, **_):

@@ -66,7 +66,7 @@ class TripletLoader:
         catalog,
         batch_size: int = 32,
         image_size: int = 224,
-        resize_mode: str = "square",
+        resize_mode: Optional[str] = None,
         shuffle: Optional[bool] = None,
         seed: int = 0,
         prefetch: bool = True,
@@ -75,7 +75,9 @@ class TripletLoader:
         self.catalog = catalog
         self.batch_size = batch_size
         self.image_size = image_size
-        self.resize_mode = resize_mode
+        # None -> the catalog family's reference-parity geometry
+        # (RetrievalCatalog.resize_mode); explicit value overrides
+        self.resize_mode = resize_mode or getattr(catalog, "resize_mode", "square")
         self.shuffle = shuffle if shuffle is not None else (catalog.mode == "train")
         self.rng = random.Random(seed)
         self.prefetch = prefetch

@@ -36,6 +36,11 @@ _VERSIONS = {
 class MixedCatalog:
     name = "MixedDataset"
 
+    # the reference factory constructs Mixed datasets WITHOUT forwarding
+    # model.transform (`data_preparation.py:837-841`), so they fall back to
+    # the square image_transformV1 default (`data_preparation.py:725`)
+    resize_mode = "square"
+
     def __init__(
         self,
         mode="train",

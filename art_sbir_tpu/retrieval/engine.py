@@ -32,7 +32,7 @@ def run_inference(
     feature_folder: Optional[str] = None,
     loss_type: str = "euclidean",
     image_size: int = 224,
-    resize_mode: str = "square",
+    resize_mode: Optional[str] = None,
     batch_size: int = 256,
     mesh=None,
     model_name: str = "ModifiedResNet",
@@ -41,8 +41,14 @@ def run_inference(
 ) -> Dict:
     """``forward_fn`` maps a uint8 (B, S, S, 3) device batch to (B, D)
     embeddings (preprocessing fused inside). ``dataset`` is a test catalog
-    with ``sketch_paths`` / ``photo_paths`` / ``state_dict``."""
+    with ``sketch_paths`` / ``photo_paths`` / ``state_dict``.
+
+    ``resize_mode=None`` resolves the catalog family's reference-parity
+    geometry (the reference embeds gallery AND queries — including the
+    sketchit second pass — with the calling dataset's transform,
+    `inference.py:74,148,158`)."""
     timer = Timer()
+    resize_mode = resize_mode or getattr(dataset, "resize_mode", "square")
 
     if feature_folder:
         image_paths, gallery = load_image_features(feature_folder, feature_root)

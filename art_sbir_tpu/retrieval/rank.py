@@ -28,15 +28,20 @@ from art_sbir_tpu.core.metrics import Timer
 from art_sbir_tpu.ops.distance import retrieve
 
 
-def sketch_stem_to_name(sketch_path: Path | str, artworks_gallery: bool) -> str:
-    """Reference `inference.py:33-37` stem-parsing rules."""
+def sketch_stem_to_name(sketch_path: Path | str, artworks_gallery: bool) -> Optional[str]:
+    """Reference `inference.py:33-37` stem-parsing rules.
+
+    Stems with 4+ dash-separated parts return ``None`` (guaranteed miss,
+    rank = N): the reference leaves ``sketch_name`` as the un-joined
+    ``re.split`` list there, which never equals any gallery stem in
+    ``find_image_index`` (`utils.py:22-25`)."""
     stem = Path(sketch_path).stem
     parts = stem.split("-")
     if len(parts) <= 2:
         return stem if artworks_gallery else parts[0]
     if len(parts) == 3:
         return parts[1]
-    return stem
+    return None
 
 
 def positive_indices(
@@ -51,8 +56,9 @@ def positive_indices(
         stem = Path(p).stem
         if stem not in stem_to_idx:  # first match wins (reference semantics)
             stem_to_idx[stem] = i
+    names = [sketch_stem_to_name(p, artworks) for p in sketch_paths]
     return np.array(
-        [stem_to_idx.get(sketch_stem_to_name(p, artworks), -1) for p in sketch_paths],
+        [-1 if n is None else stem_to_idx.get(n, -1) for n in names],
         dtype=np.int32,
     )
 

@@ -100,12 +100,16 @@ class Pix2Pix:
     ) -> Tuple[TrainState, TrainState, Dict]:
         cfg = self.cfg
         real_a, real_b = batch["A"], batch["B"]
-        rng_g, rng_g2 = jax.random.split(rng)
+        rng_g = rng
 
-        # forward: fake once, with G's dropout active in train mode
+        # forward: fake once, with G's dropout active in train mode. The
+        # reference computes fake_B ONCE and reuses it for both the D and G
+        # losses (`pix2pix_model.py:294-322`); g_loss_fn below replays this
+        # exact forward (same dropout key, same incoming batch_stats) so the
+        # G gradient flows through the forward D was trained on, and G's BN
+        # running stats advance exactly once per step.
         fake_b, g_stats = self._apply(g, g.params, real_a, True,
                                       rngs={"dropout": rng_g})
-        g = g.replace(batch_stats=g_stats)
 
         # --- D update (fake detached) ---
         def d_loss_fn(dp):
@@ -129,12 +133,12 @@ class Pix2Pix:
         if decoder_only:
             zero = jnp.zeros(())
             losses.update({"G_GAN": zero, "G_L1": zero, "G_total": zero})
-            return g, d, losses
+            return g.replace(batch_stats=g_stats), d, losses
 
-        # --- G update against the updated D ---
+        # --- G update against the updated D: replay of the single forward ---
         def g_loss_fn(gp):
             fake, stats = self._apply(g, gp, real_a, True,
-                                      rngs={"dropout": rng_g2})
+                                      rngs={"dropout": rng_g})
             fake_ab = jnp.concatenate([real_a, fake], -1)
             pred_fake, _ = self._apply(d, d.params, fake_ab, True)
             loss_gan = self.criterion(pred_fake, True)

@@ -35,6 +35,12 @@ def test_train_cli_end_to_end(sketchy_root, tmp_path, monkeypatch):
     inference = json.loads((out / "inference.json").read_text())
     assert 0.0 <= inference["mean_reciprocal_rank"] <= 1.0
     assert len(inference["topk_acc"]) == 10
+    # flagship default geometry = reference model.transform parity, and the
+    # choice is recorded in the results contract
+    data_params = json.loads((out / "data_params.json").read_text())
+    assert data_params["resize_mode"] == "shortest_crop"
+    training_params = json.loads((out / "training_params.json").read_text())
+    assert training_params["resize_mode"] == "shortest_crop"
     assert (out / "losses.png").is_file()
     assert (out / "topk_acc.png").is_file()
     # embeddings cache written

@@ -135,6 +135,63 @@ def test_triplet_loader_batches(sketchy_root):
     assert 100 < b["positive"].mean() < 160
 
 
+def test_family_resize_mode_defaults(sketchy_root, kaggle_root):
+    """Host-decode geometry per dataset family matches the transform the
+    reference actually hands each one: model.transform = shortest-side +
+    center crop for plain Sketchy/Kaggle (`models.py:289-295`,
+    `train.py:152`), square image_transformV1 for Augmented/Mixed
+    (`data_preparation.py:641,670,725`)."""
+    for name, expect in [
+        ("SketchyV1", "shortest_crop"),
+        ("SketchyV2", "shortest_crop"),
+        ("KaggleV1", "shortest_crop"),
+        ("KaggleV2", "shortest_crop"),
+        ("AugmentedKaggleV1", "square"),
+        ("AugmentedKaggleV2", "square"),
+    ]:
+        root = sketchy_root if "Sketchy" in name else kaggle_root
+        train, test = get_datasets(name, size=1.0, root=root)
+        assert train.resize_mode == expect, name
+        assert test.resize_mode == expect, name
+        assert train.state_dict.get("resize_mode", expect) == expect
+        # TripletLoader picks the catalog's mode up by default
+        assert TripletLoader(train, batch_size=2).resize_mode == expect, name
+        # explicit override still wins
+        assert TripletLoader(train, batch_size=2,
+                             resize_mode="square").resize_mode == "square"
+    mixed_train, _ = get_datasets(
+        "MixedDatasetV1", size=1.0, root_kaggle=kaggle_root,
+        root_sketchy=sketchy_root, sketch_type="contour_drawings",
+    )
+    assert mixed_train.resize_mode == "square"
+    cat_train, _ = get_datasets(
+        "CategorizedMixedDatasetV2", size=1.0, root_kaggle=kaggle_root,
+        root_sketchy=sketchy_root,
+    )
+    assert cat_train.resize_mode == "square"
+
+
+def test_decode_image_shortest_crop_geometry(sketchy_root):
+    """shortest_crop decode: non-square input -> shortest side resized to S,
+    center S x S crop (torchvision Resize(S)+CenterCrop(S) semantics)."""
+    from PIL import Image
+
+    from art_sbir_tpu.data.loader import decode_image
+
+    p = sketchy_root / "wide.png"
+    arr = np.zeros((64, 128, 3), np.uint8)
+    arr[:, 64:] = 255  # right half white: the center crop straddles it
+    Image.fromarray(arr).save(p)
+    out = decode_image(p, 32, "shortest_crop")
+    assert out.shape == (32, 32, 3)
+    # center 32-wide window of the 64x32-resized image: half black half white
+    assert out[:, :12].mean() < 40 and out[:, -12:].mean() > 215
+    sq = decode_image(p, 32, "square")
+    assert sq.shape == (32, 32, 3)
+    # square mode squashes the full width: left half black, right half white
+    assert sq[:, :12].mean() < 40
+
+
 def test_gallery_loader(sketchy_root):
     train, _ = get_datasets("SketchyV1", size=1.0, root=sketchy_root)
     gl = GalleryLoader(sorted(set(train.photo_paths)), image_size=64)

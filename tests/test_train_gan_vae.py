@@ -43,6 +43,29 @@ def test_pix2pix_decoder_only_freezes_generator(rng):
     )
 
 
+def test_pix2pix_single_forward_semantics(rng):
+    """G's BN running stats advance exactly ONCE per step, through the same
+    stochastic forward the D step saw (reference computes fake_B once,
+    `pix2pix_model.py:294-322`): the post-step stats equal one train-mode
+    forward of the *initial* G params with the step's dropout key."""
+    cfg = Pix2PixConfig(image_size=64, ngf=8, ndf=8, use_dropout=True)
+    model = Pix2Pix(cfg, jax.random.key(0))
+    batch = _gan_batch(rng)
+    g0_params = model.g.params
+    g0_stats = model.g.batch_stats
+    step_rng = jax.random.key(7)
+    model.train_step(batch, step_rng)
+    _, expected_stats = model.net_g.apply(
+        {"params": g0_params, "batch_stats": g0_stats}, batch["A"],
+        train=True, mutable=["batch_stats"], rngs={"dropout": step_rng},
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        model.g.batch_stats, expected_stats["batch_stats"],
+    )
+
+
 def test_pix2pix_eval_and_generate(rng):
     cfg = Pix2PixConfig(image_size=64, ngf=8, ndf=8)
     model = Pix2Pix(cfg, jax.random.key(0))
