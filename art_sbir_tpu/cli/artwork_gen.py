@@ -33,7 +33,9 @@ def main(argv=None) -> None:
     p.add_argument("--out_dir", default="data/kaggle/adain_sketches")
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--model", type=str, default=None,
-                   help="orbax checkpoint with encoder/decoder params")
+                   help="orbax checkpoint with encoder/decoder params, OR a "
+                        "dir holding the published vgg_normalised.pth + "
+                        "decoder.pth (reference utils.py:153-160)")
     p.add_argument("-b", "--batch_size", type=int, default=8)
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
@@ -47,8 +49,16 @@ def main(argv=None) -> None:
     enc_vars = enc.init(jax.random.key(0), x0)
     dec_vars = dec.init(jax.random.key(1), enc.apply(enc_vars, x0))
     if args.model:
-        restored = load_pytree(args.model, {"encoder": enc_vars["params"],
-                                            "decoder": dec_vars["params"]})
+        from pathlib import Path as _P
+
+        if (_P(args.model) / "vgg_normalised.pth").exists() or \
+                args.model.endswith(".pth"):
+            from art_sbir_tpu.cli.port import port_adain
+
+            restored = port_adain(_P(args.model))
+        else:
+            restored = load_pytree(args.model, {"encoder": enc_vars["params"],
+                                                "decoder": dec_vars["params"]})
         enc_vars = {"params": restored["encoder"]}
         dec_vars = {"params": restored["decoder"]}
 

@@ -31,7 +31,9 @@ def main(argv=None) -> None:
     p.add_argument("-n", "--name", default="contour",
                    choices=["contour", "anime", "opensketch"])
     p.add_argument("--model", type=str, default=None,
-                   help="orbax checkpoint dir (fresh init if omitted)")
+                   help="orbax checkpoint dir OR a reference .pth file "
+                        "(drawing_models/{contour,anime,opensketch}.pth, "
+                        "reference drawings_main.py:88); fresh init if omitted")
     p.add_argument("--corpus", choices=["kaggle", "sketchy"], default="kaggle")
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--img_type", default="images")
@@ -45,7 +47,11 @@ def main(argv=None) -> None:
     model = DrawingGenerator()
     x0 = jnp.zeros((1, args.image_size, args.image_size, 3))
     variables = model.init(jax.random.key(0), x0)
-    if args.model:
+    if args.model and args.model.endswith(".pth"):
+        from art_sbir_tpu.cli.port import port_drawing
+
+        variables = port_drawing(Path(args.model))
+    elif args.model:
         variables = {"params": load_pytree(args.model,
                                            {"params": variables["params"]})["params"]}
 

@@ -120,8 +120,12 @@ class UnetSkipBlock(nn.Module):
         h = x
         if not self.outermost:
             h = nn.leaky_relu(h, 0.2)
+        # downconv bias follows the norm rule even in the outermost block
+        # (reference passes bias=use_bias to every downconv,
+        # `pix2pix_model.py:763-764`); only the outermost UPconv defaults
+        # to bias=True
         h = nn.Conv(self.inner_nc, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=ub or self.outermost, kernel_init=INIT)(h)
+                    use_bias=ub, kernel_init=INIT)(h)
         if not (self.outermost or self.innermost):
             h = Norm(self.norm)(h, train)
         if self.submodule is not None:

@@ -219,6 +219,85 @@ def port_resnet_generator(
     return params, stats
 
 
+def port_unet_generator(
+    sd: Dict[str, np.ndarray], num_downs: int = 8
+) -> Tuple[Dict, Dict]:
+    """pix2pix UnetGenerator state dict -> (params, batch_stats).
+
+    The reference builds the U-Net recursively from the innermost block out
+    (`pix2pix_model.py:701-800`), so torch keys nest as
+    ``model.model.<i>.model.<i>...``; per-level Sequential indices are
+
+      outermost: 0 downconv | 1 submodule | 3 upconv
+      middle:    1 downconv | 2 downnorm | 3 submodule | 5 upconv | 6 upnorm
+      innermost: 1 downconv | 3 upconv | 4 upnorm
+
+    Our flax blocks are flat siblings named ``UnetSkipBlock_{k}`` with k=0
+    the innermost; Norm_0/Norm_1 = (downnorm, upnorm) for middle blocks and
+    Norm_0 = upnorm for the innermost. InstanceNorm checkpoints carry no
+    norm tensors (parameter-free on both sides)."""
+    params: Dict = {}
+    stats: Dict = {}
+    prefix = "model.model"
+    for level in range(num_downs):  # 0 = outermost
+        name = f"UnetSkipBlock_{num_downs - 1 - level}"
+        outermost = level == 0
+        innermost = level == num_downs - 1
+        if outermost:
+            down, up, norms, sub = 0, 3, [], 1
+        elif innermost:
+            down, up, norms, sub = 1, 3, [4], None
+        else:
+            down, up, norms, sub = 1, 5, [2, 6], 3
+
+        p: Dict = {"Conv_0": _conv(sd, f"{prefix}.{down}")}
+        ct: Dict = {"kernel": conv_transpose_kernel(sd[f"{prefix}.{up}.weight"])}
+        if f"{prefix}.{up}.bias" in sd:
+            ct["bias"] = sd[f"{prefix}.{up}.bias"]
+        p["ConvTranspose_0"] = ct
+        s: Dict = {}
+        for j, t in enumerate(norms):
+            if f"{prefix}.{t}.running_mean" in sd:  # batch norm only
+                np_, ns_ = _bn(sd, f"{prefix}.{t}")
+                p[f"Norm_{j}"] = {"BatchNorm_0": np_}
+                s[f"Norm_{j}"] = {"BatchNorm_0": ns_}
+        params[name] = p
+        if s:
+            stats[name] = s
+        if sub is not None:
+            prefix = f"{prefix}.{sub}.model"
+    return params, stats
+
+
+def port_patchgan_discriminator(
+    sd: Dict[str, np.ndarray], n_layers: int = 3
+) -> Tuple[Dict, Dict]:
+    """NLayerDiscriminator ``model.N`` Sequential (reference
+    `pix2pix_model.py:803-859`) -> our named modules.
+
+    Layout: conv(0) leaky(1), then per middle layer conv+norm+leaky
+    triples, then a stride-1 conv+norm+leaky, then the 1-channel output
+    conv. For n_layers=3: convs at 0,2,5,8,11; batch norms at 3,6,9."""
+    params: Dict = {}
+    stats: Dict = {}
+    conv_idx = [0]
+    norm_idx = []
+    t = 2
+    for _ in range(n_layers):  # middle layers + the stride-1 layer
+        conv_idx.append(t)
+        norm_idx.append(t + 1)
+        t += 3
+    conv_idx.append(t)
+    for i, ci in enumerate(conv_idx):
+        params[f"Conv_{i}"] = _conv(sd, f"model.{ci}")
+    for j, ni in enumerate(norm_idx):
+        if f"model.{ni}.running_mean" in sd:
+            p, s = _bn(sd, f"model.{ni}")
+            params[f"Norm_{j}"] = {"BatchNorm_0": p}
+            stats[f"Norm_{j}"] = {"BatchNorm_0": s}
+    return params, stats
+
+
 def port_photo2sketch(sd: Dict[str, np.ndarray], hidden: int = 512) -> Dict:
     """Reference Photo2Sketch state dict (`models.py:16-181`;
     `utils.py:173-176` dispatch) -> our flax tree.

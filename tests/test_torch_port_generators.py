@@ -124,3 +124,143 @@ def test_port_resnet_generator(rng, norm):
     out = g.apply(variables, x, train=False)
     assert out.shape == (1, 32, 32, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+def _unet_sd(rng, num_downs=6, ngf=4, input_nc=3, output_nc=1, norm="batch"):
+    """Synthesize a reference-layout UnetGenerator state dict
+    (`pix2pix_model.py:701-800`): keys nest as model.model.<i>.model...,
+    built here from the outermost level in."""
+    sd = {}
+    use_bias = norm == "instance"
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = 0.1 * rng.standard_normal(c).astype(np.float32)
+        sd[f"{prefix}.running_var"] = rng.random(c).astype(np.float32) + 0.5
+
+    def tconv(prefix, i, o, bias):
+        sd[f"{prefix}.weight"] = (rng.standard_normal((i, o, 4, 4)) /
+                                  np.sqrt(16 * i)).astype(np.float32)
+        if bias:
+            sd[f"{prefix}.bias"] = 0.1 * rng.standard_normal(o).astype(np.float32)
+
+    def conv(prefix, i, o, bias):
+        sd[f"{prefix}.weight"] = (rng.standard_normal((o, i, 4, 4)) /
+                                  np.sqrt(16 * i)).astype(np.float32)
+        if bias:
+            sd[f"{prefix}.bias"] = 0.1 * rng.standard_normal(o).astype(np.float32)
+
+    prefix = "model.model"
+    # channel plan outermost -> innermost: outer_nc/inner_nc per level
+    plan = [(output_nc, ngf, input_nc)]
+    oc, ic = ngf, ngf * 2
+    for _ in range(3):
+        plan.append((oc, ic, None))
+        oc, ic = ic, min(ic * 2, ngf * 8)
+    for _ in range(num_downs - 4):
+        plan.append((ngf * 8, ngf * 8, None))
+    for level, (outer, inner, in_nc) in enumerate(plan):
+        outermost = level == 0
+        innermost = level == num_downs - 1
+        in_ch = in_nc if in_nc is not None else outer
+        if outermost:
+            conv(f"{prefix}.0", in_ch, inner, use_bias)
+            tconv(f"{prefix}.3", inner * 2, outer, True)
+            prefix = f"{prefix}.1.model"
+        elif innermost:
+            conv(f"{prefix}.1", in_ch, inner, use_bias)
+            tconv(f"{prefix}.3", inner, outer, use_bias)
+            if norm == "batch":
+                bn(f"{prefix}.4", outer)
+        else:
+            conv(f"{prefix}.1", in_ch, inner, use_bias)
+            tconv(f"{prefix}.5", inner * 2, outer, use_bias)
+            if norm == "batch":
+                bn(f"{prefix}.2", inner)
+                bn(f"{prefix}.6", outer)
+            prefix = f"{prefix}.3.model"
+    return sd
+
+
+def _torch_unet_forward(sd, x, num_downs=6, norm="batch"):
+    """Reference UnetGenerator forward in eval mode from functional torch
+    ops (skip-concat semantics of `pix2pix_model.py:796-800`)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = lambda k: torch.from_numpy(np.asarray(sd[k]))
+    tb = lambda k: t(k) if k in sd else None
+
+    def bn(h, p):
+        return F.batch_norm(h, t(f"{p}.running_mean"), t(f"{p}.running_var"),
+                            t(f"{p}.weight"), t(f"{p}.bias"), training=False,
+                            eps=1e-5)
+
+    def inorm(h):
+        return F.instance_norm(h, eps=1e-5)
+
+    def norm_f(h, p):
+        return bn(h, p) if norm == "batch" else inorm(h)
+
+    def block(x, prefix, level):
+        outermost = level == 0
+        innermost = level == num_downs - 1
+        if outermost:
+            h = F.conv2d(x, t(f"{prefix}.0.weight"), tb(f"{prefix}.0.bias"),
+                         stride=2, padding=1)
+            h = block(h, f"{prefix}.1.model", level + 1)
+            h = F.relu(h)
+            h = F.conv_transpose2d(h, t(f"{prefix}.3.weight"),
+                                   tb(f"{prefix}.3.bias"), stride=2, padding=1)
+            return torch.tanh(h)
+        h = F.leaky_relu(x, 0.2)
+        h = F.conv2d(h, t(f"{prefix}.1.weight"), tb(f"{prefix}.1.bias"),
+                     stride=2, padding=1)
+        if innermost:
+            h = F.relu(h)
+            h = F.conv_transpose2d(h, t(f"{prefix}.3.weight"),
+                                   tb(f"{prefix}.3.bias"), stride=2, padding=1)
+            h = norm_f(h, f"{prefix}.4")
+        else:
+            h = norm_f(h, f"{prefix}.2")
+            h = block(h, f"{prefix}.3.model", level + 1)
+            h = F.relu(h)
+            h = F.conv_transpose2d(h, t(f"{prefix}.5.weight"),
+                                   tb(f"{prefix}.5.bias"), stride=2, padding=1)
+            h = norm_f(h, f"{prefix}.6")
+        return torch.cat([x, h], 1)
+
+    return block(x, "model.model", 0)
+
+
+@pytest.mark.parametrize("norm", ["batch", "instance"])
+def test_port_unet_generator_functional_parity(rng, norm):
+    """The recursive UnetGenerator walk (reference
+    `pix2pix_model.py:701-800`, `utils.py` pix2pix dispatch): ported weights
+    reproduce the torch forward exactly (eval mode, f32)."""
+    import torch
+
+    from art_sbir_tpu.models.pix2pix import UnetGenerator
+
+    num_downs, ngf = 6, 4
+    sd = _unet_sd(rng, num_downs, ngf, norm=norm)
+    params, stats = TP.port_unet_generator(sd, num_downs)
+
+    g = UnetGenerator(output_nc=1, num_downs=num_downs, ngf=ngf, norm=norm)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    vars_ = jax.jit(g.init, static_argnames="train")(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    merged_p = TP.merge_into(vars_["params"], params)
+    assert jax.tree_util.tree_map(lambda a: a.shape, merged_p) == \
+        jax.tree_util.tree_map(lambda a: a.shape, vars_["params"])
+    variables = {"params": merged_p}
+    if norm == "batch":
+        variables["batch_stats"] = TP.merge_into(vars_["batch_stats"], stats)
+    ours = np.asarray(g.apply(variables, jnp.asarray(x), train=False))
+
+    with torch.no_grad():
+        ref = _torch_unet_forward(
+            sd, torch.from_numpy(x.transpose(0, 3, 1, 2).copy()),
+            num_downs, norm,
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
