@@ -14,7 +14,7 @@ import jax
 
 
 def rerun_folder(folder: str, results_root: Path, models_root: Path,
-                 data_root=None) -> None:
+                 data_root=None, n_devices: int = 1) -> None:
     import jax.numpy as jnp
 
     from art_sbir_tpu.core.checkpoint import load_pytree
@@ -78,12 +78,20 @@ def rerun_folder(folder: str, results_root: Path, models_root: Path,
         )
         return out[0] if isinstance(out, tuple) else out
 
+    mesh = None
+    if n_devices != 1:
+        from art_sbir_tpu.parallel import data_mesh, replicated
+
+        mesh = data_mesh(None if n_devices < 0 else n_devices)
+        state = jax.device_put(state, replicated(mesh))
+        print(f"data mesh: {mesh.devices.size} devices", flush=True)
+
     # honor the geometry the run recorded; None -> family default
     resize_mode = param_dict.get("resize_mode") or data_dict.get("resize_mode")
     inference_dict = run_inference(forward, test_cat, None, loss_type,
                                    image_size=image_size,
                                    resize_mode=resize_mode,
-                                   model_name=type(model).__name__)
+                                   model_name=type(model).__name__, mesh=mesh)
     (run_dir / "inference_updated.json").write_text(
         json.dumps(inference_dict, indent=4, default=float)
     )
@@ -101,6 +109,9 @@ def main(argv=None) -> None:
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--models_root", type=str, default="models")
     p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel devices for the embedding sweep "
+                        "(1 = single device, -1 = all available)")
     args = p.parse_args(argv)
 
     results_root = Path(args.results_root)
@@ -109,7 +120,8 @@ def main(argv=None) -> None:
         folders = [d.name for d in results_root.glob("ModifiedResNet*") if d.is_dir()]
     print(folders, flush=True)
     for folder in folders:
-        rerun_folder(folder, results_root, Path(args.models_root), args.data_root)
+        rerun_folder(folder, results_root, Path(args.models_root),
+                     args.data_root, n_devices=args.n_devices)
 
 
 if __name__ == "__main__":

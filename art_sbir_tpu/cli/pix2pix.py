@@ -46,6 +46,8 @@ def main(argv=None) -> None:
     p.add_argument("--norm", default="batch", choices=["batch", "instance", "none"])
     p.add_argument("--gan_mode", default="vanilla",
                    choices=["vanilla", "lsgan", "wgangp"])
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf", type=int, default=64)
     p.add_argument("--dataset", default="SketchyPix2Pix",
                    choices=["SketchyPix2Pix", "KaggleDatasetImgOnlyV1"])
     p.add_argument("--img_type", default=None,
@@ -57,11 +59,22 @@ def main(argv=None) -> None:
     p.add_argument("--out_dir", type=str, default="data/kaggle/photo_sketch")
     p.add_argument("--model", type=str, default=None, help="orbax warm start")
     p.add_argument("--seed", type=int, default=0)
+    # epoch-tagged checkpoint/resume (reference BaseModel save_networks /
+    # load_networks with continue_train / load_iter,
+    # pix2pix_model.py:90-101,150-205)
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="epoch-tagged resumable checkpoints (orbax)")
+    p.add_argument("--checkpoint_every", type=int, default=1)
+    p.add_argument("--continue_train", action="store_true",
+                   help="resume from checkpoint_dir")
+    p.add_argument("--load_iter", type=int, default=0,
+                   help="epoch to resume from (0 = latest)")
     args = p.parse_args(argv)
 
     cfg = Pix2PixConfig(
         net_g=args.netG, net_d=args.netD, norm=args.norm, gan_mode=args.gan_mode,
         lambda_l1=args.lambda_L1, lr=args.lr, image_size=args.image_size,
+        ngf=args.ngf, ndf=args.ndf,
     )
     model = Pix2Pix(cfg, jax.random.key(args.seed))
     if args.model:
@@ -109,7 +122,32 @@ def main(argv=None) -> None:
         keys = ["G_GAN", "G_L1", "D_real", "D_fake", "G_total", "D_total"]
         tracker = LossTracker(keys)
         timer = Timer()
-        for epoch in range(args.epochs):
+
+        def gan_tree():
+            return {
+                "g": {"params": model.g.params,
+                      "batch_stats": model.g.batch_stats,
+                      "opt_state": model.g.opt_state, "step": model.g.step},
+                "d": {"params": model.d.params,
+                      "batch_stats": model.d.batch_stats,
+                      "opt_state": model.d.opt_state, "step": model.d.step},
+            }
+
+        mgr = None
+        start_epoch = 0
+        if args.checkpoint_dir:
+            from art_sbir_tpu.core.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(args.checkpoint_dir)
+            if args.continue_train:
+                step = args.load_iter or None  # None = latest
+                restored = mgr.restore(gan_tree(), step=step)
+                model.g = model.g.replace(**restored["g"])
+                model.d = model.d.replace(**restored["d"])
+                start_epoch = int(step or mgr.latest_step())
+                print(f"Resumed pix2pix from epoch {start_epoch}", flush=True)
+
+        for epoch in range(start_epoch, args.epochs):
             tracker.reset_sums()
             n = 0
             for batch in batches(train_cat, True, rng):
@@ -123,6 +161,8 @@ def main(argv=None) -> None:
             tracker.append({k: v for k, v in tracker.sums.items()}, max(n, 1))
             print(f"Epoch {epoch + 1}: " + ", ".join(
                 f"{k}={tracker.series[k][-1]:.4f}" for k in keys), flush=True)
+            if mgr is not None and (epoch + 1) % args.checkpoint_every == 0:
+                mgr.save(epoch + 1, gan_tree())
 
         writer = ResultsWriter("Pix2PixModel", train_cat.state_dict["dataset"])
         training_dict = {"train_losses": dict(tracker.series),

@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the latest checkpoint in checkpoint_dir")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of training")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel devices over the ICI mesh "
+                        "(1 = single device, -1 = all available); batches "
+                        "are sharded on dim 0 and XLA all-reduces gradients")
     return p
 
 
@@ -132,6 +136,15 @@ def main(argv=None) -> Path:
         state = state.replace(**restored)
         print(f"Model {args.model} loaded", flush=True)
 
+    mesh = None
+    if args.n_devices != 1:
+        from art_sbir_tpu.parallel import data_mesh, replicated
+
+        n = None if args.n_devices < 0 else args.n_devices
+        mesh = data_mesh(n)
+        state = jax.device_put(state, replicated(mesh))
+        print(f"data mesh: {mesh.devices.size} devices", flush=True)
+
     augment_version = getattr(train_cat, "augment_sketches", 0)
     flip = augment_version > 0
     rng = np.random.default_rng(args.seed)
@@ -144,9 +157,30 @@ def main(argv=None) -> Path:
 
         def gen():
             for batch in loader:
+                if mesh is not None:
+                    import math
+
+                    from art_sbir_tpu.parallel import shard_batch
+
+                    b = len(next(iter(batch.values())))
+                    n = mesh.devices.size
+                    if b % n:
+                        # ragged tail: tile every row to lcm(b, n) so the
+                        # batch shards evenly. Tiling preserves the batch
+                        # mean, the population variance (hence BatchNorm),
+                        # and the mean-loss gradient EXACTLY, so DP results
+                        # equal the single-device run bit-for-semantics.
+                        reps = math.lcm(b, n) // b
+                        batch = {
+                            k: np.tile(v, (reps,) + (1,) * (v.ndim - 1))
+                            for k, v in batch.items()
+                        }
+                    batch = shard_batch(mesh, batch)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 key = jax.random.key(int(rng.integers(2**31)))
                 yield finish_triplet_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, key,
+                    batch, key,
                     augment_version=augment_version if train else 0,
                     flip=flip if train else False, train=train,
                 )
@@ -165,6 +199,7 @@ def main(argv=None) -> Path:
         "num_classes2": num_classes2, "image_size": args.image_size,
         "resize_mode": resize_mode
         or getattr(train_cat, "resize_mode", "square"),
+        "n_devices": 1 if mesh is None else int(mesh.devices.size),
     }
     data_dict = train_cat.state_dict
     print(param_dict, flush=True)
@@ -184,6 +219,10 @@ def main(argv=None) -> Path:
                      "opt_state": state.opt_state, "step": state.step}
                 )
                 state = state.replace(**restored)
+                if mesh is not None:
+                    from art_sbir_tpu.parallel import replicated
+
+                    state = jax.device_put(state, replicated(mesh))
                 start_epoch = int(mgr.latest_step())
                 print(f"Resumed from epoch {start_epoch}", flush=True)
         from art_sbir_tpu.core.metrics import maybe_profile
@@ -219,7 +258,7 @@ def main(argv=None) -> Path:
         inference_dict = run_inference(
             forward, test_cat, args.feature_folder, args.loss_type,
             image_size=args.image_size, resize_mode=resize_mode,
-            model_name=type(model).__name__, kaggle_queries=kq,
+            model_name=type(model).__name__, kaggle_queries=kq, mesh=mesh,
         )
 
     writer = ResultsWriter(type(model).__name__, data_dict["dataset"],

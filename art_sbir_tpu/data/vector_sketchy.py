@@ -85,6 +85,9 @@ class VectorizedSketchyCatalogV1(SketchyCatalogV1):
         kept = S.normalize(kept)
         for v, seq in zip(self.vectorized, kept):
             v["image"] = seq
+        # the 256x256 delta reshape is deterministic per sketch — cache the
+        # padded tensor once instead of recomputing on every epoch access
+        self._padded_cache: Dict[int, np.ndarray] = {}
 
     def item(self, idx: int) -> Dict:
         """(length, padded stroke-5). The 256x256 reshape of deltas is
@@ -92,10 +95,14 @@ class VectorizedSketchyCatalogV1(SketchyCatalogV1):
         'photo' is produced on device when img_format == 'svg', else the
         loader decodes the real photo path."""
         v = self.vectorized[idx]
-        reshaped = svg_ops.reshape_vector_sketch(v)["image"]
+        padded = self._padded_cache.get(idx)
+        if padded is None:
+            reshaped = svg_ops.reshape_vector_sketch(v)["image"]
+            padded = S.padded5_with_final_end(reshaped, self.maximum_length)
+            self._padded_cache[idx] = padded
         out = {
             "length": len(v["image"]),
-            "sketch_vector": S.padded5_with_final_end(reshaped, self.maximum_length),
+            "sketch_vector": padded,
         }
         if self.img_format != "svg":
             out["photo_path"] = self.photo_paths[idx]

@@ -51,19 +51,34 @@ def embed_batched(
 
     jit_apply = jax.jit(apply_fn)
     feats: List[np.ndarray] = []
-    for start in range(0, n_images, batch_size):
+
+    def fetch(start: int) -> Tuple[np.ndarray, int]:
         count = min(batch_size, n_images - start)
         host = np.asarray(images(start, count))
         if count < batch_size:  # pad tail to the compiled shape
             pad = np.repeat(host[:1], batch_size - count, axis=0)
             host = np.concatenate([host, pad])
-        x = jnp.asarray(host)
-        if mesh is not None:
-            x = jax.device_put(x, batch_sharding(mesh, x.ndim))
-        out = jit_apply(x)
-        if isinstance(out, (tuple, list)):  # classification models
-            out = out[0]
-        feats.append(np.asarray(out[:count], np.float32))
+        return host, count
+
+    # host decode of batch k+1 overlaps the device embedding of batch k —
+    # the sweep is host-decode bound on real corpora (the BASELINE north
+    # star path), mirroring TripletLoader's prefetch
+    import concurrent.futures
+
+    starts = list(range(0, n_images, batch_size))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        future = pool.submit(fetch, starts[0]) if starts else None
+        for i, _ in enumerate(starts):
+            host, count = future.result()
+            future = (pool.submit(fetch, starts[i + 1])
+                      if i + 1 < len(starts) else None)
+            x = jnp.asarray(host)
+            if mesh is not None:
+                x = jax.device_put(x, batch_sharding(mesh, x.ndim))
+            out = jit_apply(x)
+            if isinstance(out, (tuple, list)):  # classification models
+                out = out[0]
+            feats.append(np.asarray(out[:count], np.float32))
     return np.concatenate(feats) if feats else np.zeros((0, feature_dim or 0), np.float32)
 
 
