@@ -87,20 +87,30 @@ def bench_reference_loop(gallery: np.ndarray, queries: np.ndarray) -> float:
 
 
 def bench_encoder() -> float:
-    """Diagnostic: ModifiedResNet50 gallery embedding throughput (bf16)."""
+    """Diagnostic: ModifiedResNet50 gallery embedding throughput (bf16).
+
+    The production path: uint8 host batches with the CLIP normalize fused
+    into the same XLA program (see PERF.md for the roofline analysis —
+    this point measures ~67% of the model's HBM-roofline ceiling)."""
     import jax
     import jax.numpy as jnp
 
     from art_sbir_tpu.models.resnet import ModifiedResNet
+    from art_sbir_tpu.ops.resize import CLIP_MEAN, CLIP_STD, normalize
 
     model = ModifiedResNet(dtype=jnp.bfloat16)
-    batch = 256  # best measured throughput point on v5e (see enc scaling)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, 224, 224, 3)),
-                    jnp.float32)
+    batch = 512  # best measured throughput point on v5e (PERF.md scaling)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (batch, 224, 224, 3)), jnp.uint8)
     variables = jax.jit(model.init, static_argnames="train")(
-        jax.random.key(0), x[:8], train=False
+        jax.random.key(0), jnp.zeros((8, 224, 224, 3), jnp.float32), train=False
     )
-    fwd = jax.jit(lambda im: model.apply(variables, im, train=False))
+
+    def forward(im_u8):
+        f = normalize(im_u8.astype(jnp.bfloat16) / 255.0, CLIP_MEAN, CLIP_STD)
+        return model.apply(variables, f, train=False)
+
+    fwd = jax.jit(forward)
     fwd(x).block_until_ready()
     runs = 10
     t0 = time.perf_counter()
@@ -131,7 +141,8 @@ def main() -> None:
 
     try:
         enc = bench_encoder()
-        log(f"encoder: {enc:.1f} gallery embeddings/sec/chip (bf16, batch 256)")
+        log(f"encoder: {enc:.1f} gallery embeddings/sec/chip "
+            f"(bf16, batch 512, fused u8 normalize)")
     except Exception as e:  # encoder bench is diagnostic only
         log(f"encoder bench skipped: {e}")
 
