@@ -10,8 +10,13 @@ Reference semantics being matched (see reference `utils.py:31-42`,
 * rank of the positive: the reference full-sorts all N distances per query
   (``distances.topk(len(gallery))``, reference `inference.py:49`) and finds
   the position of the positive index. Equivalent — and O(N) instead of
-  O(N log N) — is counting gallery items strictly closer than the positive,
-  breaking exact ties by index order (stable-sort order).
+  O(N log N) — is counting gallery items strictly closer than the positive.
+  Under EXACT float ties torch's topk order is arbitrary (quickselect;
+  empirically neither index-stable nor documented), so tie parity is only
+  defined up to the tie block; this framework deterministically breaks
+  ties by gallery index (stable-sort order), which always lands in the
+  same tie block as any torch run (tested on manufactured duplicates in
+  `tests/test_ops_distance.py::test_manufactured_ties_vs_torch_topk_recipe`).
 
 TPU-first design: the pairwise distance matrix is a single MXU matmul
 (``|q|^2 + |g|^2 - 2 q g^T``); ranks and top-k are row reductions XLA fuses
@@ -108,8 +113,10 @@ def rank_of_positive(
     """0-based rank of the positive gallery item per query.
 
     ``dist`` (Q, N), ``pos_idx`` (Q,) int32. Ties at exactly the positive's
-    distance are broken by gallery index (stable order, matching a stable
-    full sort of the reference, reference `inference.py:49-52`).
+    distance are broken by gallery index — the deterministic stable-sort
+    order. The reference's ``topk`` tie order is arbitrary (see module
+    docstring), so this is a well-defined choice inside the same tie block,
+    not a bit-match of any particular torch run.
     ``valid`` (N,) optionally masks padded gallery rows.
     """
     n = dist.shape[-1]
@@ -155,6 +162,34 @@ def retrieve(
     dist = pairwise_distance(queries, gallery, metric, precision)
     ranks = rank_of_positive(dist, pos_idx, valid)
     vals, idx = top_k(dist, k, valid)
+    return ranks, vals, idx
+
+
+def retrieve_chunked(
+    queries: jax.Array,
+    gallery: jax.Array,
+    pos_idx: jax.Array,
+    k: int = 10,
+    metric: str = "euclidean",
+    precision: str = "highest",
+    chunk: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Query-chunked :func:`retrieve` for galleries where the full (Q, N)
+    distance matrix is HBM-prohibitive (e.g. Q=4096, N=1M f32 is 16 GB).
+
+    Each chunk still materializes a (chunk, N) matrix and pays
+    ``lax.top_k`` over it — this is the honest XLA fallback the fused
+    Pallas kernel (:mod:`art_sbir_tpu.ops.retrieval_pallas`) is benchmarked
+    against at large N (see bench.py / PERF.md)."""
+    nq = queries.shape[0]
+    outs = [
+        retrieve(queries[i : i + chunk], gallery, pos_idx[i : i + chunk],
+                 k=k, metric=metric, precision=precision)
+        for i in range(0, nq, chunk)
+    ]
+    ranks = jnp.concatenate([o[0] for o in outs])
+    vals = jnp.concatenate([o[1] for o in outs])
+    idx = jnp.concatenate([o[2] for o in outs])
     return ranks, vals, idx
 
 

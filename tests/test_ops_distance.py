@@ -71,6 +71,81 @@ def test_rank_tie_breaking_by_index():
     assert int(D.rank_of_positive(dist, jnp.array([1]))[0]) == 1
 
 
+def test_manufactured_ties_vs_torch_topk_recipe(rng):
+    """Duplicated gallery rows create EXACT distance ties. The reference
+    ranks via ``distances.topk(len(gallery), largest=False)`` (reference
+    `inference.py:43-56`), whose tie order is ARBITRARY (quickselect —
+    empirically neither index-stable nor reverse; see the docstring fix in
+    `ops/distance.py`). Parity under ties is therefore defined up to tie
+    equivalence: our rank must lie in the positive's tie block exactly like
+    torch's, with strictly-closer counts identical, and the top-k must
+    agree as value-grouped index sets."""
+    d = 16
+    base = rng.standard_normal((30, d)).astype(np.float32)
+    gal = np.concatenate([base, base[:15], base[:8]])  # dup blocks -> ties
+    n = len(gal)
+    queries = base[[2, 5, 9, 14]] + 0.05 * rng.standard_normal((4, d)).astype(
+        np.float32
+    )
+    # positives include duplicated rows (both the first and later copies)
+    pos = np.array([2, 35, 9, 52], np.int32)  # 35 dups row 5, 52 dups row 7
+
+    ranks, vals, idx = D.retrieve(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=10
+    )
+    pd = nn.PairwiseDistance(p=2)
+    for i in range(4):
+        distances = pd(torch.from_numpy(queries[i : i + 1]),
+                       torch.from_numpy(gal))
+        dnp = distances.numpy()
+        _, order = distances.topk(n, largest=False)
+        ref_rank = int((order == int(pos[i])).nonzero()[0, 0])
+        our_rank = int(np.asarray(ranks)[i])
+
+        # identical strictly-closer count; both ranks inside the tie block
+        d_pos = dnp[pos[i]]
+        strictly = int((dnp < d_pos).sum())
+        tie_block = int((dnp == d_pos).sum())  # includes the positive itself
+        assert strictly <= our_rank < strictly + tie_block
+        assert strictly <= ref_rank < strictly + tie_block
+        # ours is the deterministic stable-sort rank
+        stable = np.argsort(dnp, kind="stable")
+        assert our_rank == int(np.nonzero(stable == pos[i])[0][0])
+
+        # top-10 values agree to the expanded-MXU-form tolerance (see
+        # test_pairwise_l2_matches_broadcast_rowwise for the 3e-3 rationale)
+        np.testing.assert_allclose(
+            np.asarray(vals)[i], np.sort(dnp)[:10], rtol=3e-3, atol=3e-3
+        )
+        # same index membership per tie group, ascending (each path groups
+        # by ITS OWN computed values — exact duplicates tie exactly in both)
+        ref10 = order[:10].numpy()
+        ours10 = np.asarray(idx)[i]
+        our_vals10 = np.asarray(vals)[i]
+
+        def groups(indices, values):
+            out, cur, cv = [], [], None
+            for ix, v in zip(indices.tolist(), values.tolist()):
+                if cv is None or v != cv:
+                    if cur:
+                        out.append(set(cur))
+                    cur, cv = [ix], v
+                else:
+                    cur.append(ix)
+            out.append(set(cur))
+            return out
+
+        og = groups(ours10, our_vals10)
+        rg = groups(ref10, dnp[ref10])
+        assert len(og) == len(rg)
+        for ours_v, ref_v in zip(og, rg):
+            full_v = set(np.nonzero(dnp == dnp[next(iter(ref_v))])[0].tolist())
+            if len(ref_v) == len(full_v) and len(ours_v) == len(full_v):
+                assert ours_v == ref_v == full_v
+            else:  # tie group truncated by the k boundary
+                assert ours_v <= full_v and ref_v <= full_v
+
+
 def test_top_k_ascending(rng):
     dist = rng.random((4, 50)).astype(np.float32)
     vals, idx = D.top_k(jnp.array(dist), 10)

@@ -9,8 +9,11 @@ from art_sbir_tpu.ops.distance import retrieve
 from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
 
 
-@pytest.mark.parametrize("n,q,tile", [(300, 8, 128), (128, 4, 128), (1000, 16, 256)])
-def test_fused_matches_xla_reference(rng, n, q, tile):
+@pytest.mark.parametrize(
+    "n,q,tile_q,tile_n",
+    [(300, 8, 8, 128), (128, 4, 8, 128), (1000, 16, 8, 256), (517, 37, 16, 128)],
+)
+def test_fused_matches_xla_reference(rng, n, q, tile_q, tile_n):
     d = 64
     gal = rng.standard_normal((n, d)).astype(np.float32)
     queries = rng.standard_normal((q, d)).astype(np.float32)
@@ -18,15 +21,52 @@ def test_fused_matches_xla_reference(rng, n, q, tile):
 
     r0, v0, i0 = retrieve(jnp.array(queries), jnp.array(gal), jnp.array(pos), k=10)
     r1, v1, i1 = retrieve_fused(
-        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=10, tile_n=tile,
-        interpret=True,
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=10,
+        tile_q=tile_q, tile_n=tile_n, interpret=True,
     )
-    # the fused kernel computes without the reference's 1e-6 distance eps;
-    # ranks can differ only on exact float ties of unrelated rows
+    # both paths fold torch's 1e-6 PairwiseDistance eps (expanded form), so
+    # indices, ranks and tie-breaks agree; values differ only by sqrt
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(
         np.asarray(v0) ** 2, np.asarray(v1), rtol=2e-3, atol=2e-3
     )
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+
+def test_fused_query_tiling_consistent(rng):
+    """Different query tilings of the same problem return identical results
+    (state is per-query-block; tiling must not change any output)."""
+    n, q, d = 400, 24, 32
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    pos = rng.integers(0, n, size=q).astype(np.int32)
+    outs = [
+        retrieve_fused(jnp.array(queries), jnp.array(gal), jnp.array(pos),
+                       k=7, tile_q=tq, tile_n=128, interpret=True)
+        for tq in (8, 16, 24)
+    ]
+    for r, v, i in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(r))
+        np.testing.assert_array_equal(np.asarray(outs[0][2]), np.asarray(i))
+        np.testing.assert_allclose(np.asarray(outs[0][1]), np.asarray(v),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fused_manufactured_ties(rng):
+    """Duplicated gallery rows create exact distance ties; the fused kernel
+    must order them by gallery index like the XLA path's stable sort."""
+    d = 16
+    base = rng.standard_normal((40, d)).astype(np.float32)
+    # rows 0..39, then exact duplicates of rows 0..19 at indices 40..59
+    gal = np.concatenate([base, base[:20]], axis=0)
+    queries = base[[3, 7, 11]] + 0.01 * rng.standard_normal((3, d)).astype(np.float32)
+    pos = np.array([3, 7, 51], np.int32)  # 51 duplicates row 11
+
+    r0, v0, i0 = retrieve(jnp.array(queries), jnp.array(gal), jnp.array(pos), k=10)
+    r1, v1, i1 = retrieve_fused(jnp.array(queries), jnp.array(gal),
+                                jnp.array(pos), k=10, tile_q=8, tile_n=128,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
 
 
