@@ -82,6 +82,14 @@ def main(argv=None) -> None:
             IMAGENET_MEAN, IMAGENET_STD,
         )
     )
+    from art_sbir_tpu.ops.rasterize import rasterize_prepared
+
+    raster_photo_prepared = jax.jit(
+        lambda pts, segs: normalize(
+            1.0 - rasterize_prepared(pts, segs)[..., None].repeat(3, -1) / 255.0,
+            IMAGENET_MEAN, IMAGENET_STD,
+        )
+    )
 
     def batches(catalog, train: bool, rng):
         order = list(range(len(catalog)))
@@ -97,6 +105,12 @@ def main(argv=None) -> None:
                     for it in items
                 ]).astype(np.float32) / 255.0
                 photo = normalize(jnp.asarray(photos), IMAGENET_MEAN, IMAGENET_STD)
+            elif "raster_points" in items[0]:
+                # exact integer points cached by the catalog (float64 host
+                # scaling) -> device Bresenham; bit-exact vs the reference
+                pts = jnp.asarray(np.stack([it["raster_points"] for it in items]))
+                segs = jnp.asarray(np.stack([it["raster_segs"] for it in items]))
+                photo = raster_photo_prepared(pts, segs)
             else:  # rasterize the vector sketch on device (img_format=='svg')
                 photo = raster_photo(vec)
             yield {"photo": photo, "sketch_vector": vec,

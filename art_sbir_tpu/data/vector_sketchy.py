@@ -95,14 +95,26 @@ class VectorizedSketchyCatalogV1(SketchyCatalogV1):
         'photo' is produced on device when img_format == 'svg', else the
         loader decodes the real photo path."""
         v = self.vectorized[idx]
-        padded = self._padded_cache.get(idx)
-        if padded is None:
+        cached = self._padded_cache.get(idx)
+        if cached is None:
             reshaped = svg_ops.reshape_vector_sketch(v)["image"]
             padded = S.padded5_with_final_end(reshaped, self.maximum_length)
-            self._padded_cache[idx] = padded
+            extras = {}
+            if self.img_format == "svg":
+                # exact float64 canvas points for the device rasterizer
+                # (the in-jit f32 scaling carries a truncation heuristic;
+                # see ops/rasterize.py::prepare_points_host)
+                from art_sbir_tpu.ops.rasterize import prepare_points_host
+
+                pts, segs = prepare_points_host(padded[None])
+                extras = {"raster_points": pts[0], "raster_segs": segs[0]}
+            cached = (padded, extras)
+            self._padded_cache[idx] = cached
+        padded, extras = cached
         out = {
             "length": len(v["image"]),
             "sketch_vector": padded,
+            **extras,
         }
         if self.img_format != "svg":
             out["photo_path"] = self.photo_paths[idx]

@@ -157,6 +157,62 @@ def rasterize_points(
     return canvas & ((gx > 0) & (gy > 0))[None]
 
 
+def prepare_points_host(batch) -> tuple:
+    """Float64 host mirror of :func:`prepare_points` — EXACT reference
+    scaling semantics (the reference normalizes in numpy float64,
+    rasterize.py:170-191, where integer-landing values never truncate low;
+    the device path's f32 ``+1e-3`` nudge is a heuristic). Use this to
+    pre-compute integer canvas points for dataset caches
+    (`data/vector_sketchy.py`), then rasterize on device with
+    :func:`rasterize_points` — the combination is bit-exact vs the oracle
+    (`ops/raster_reference.py`), tested in tests/test_ops_rasterize.py.
+
+    (B, T, 5|3) float array -> ((B, T+1, 2) int32, (B, T) bool).
+    """
+    import numpy as np
+
+    batch = np.asarray(batch, np.float64)
+    b, t, ch = batch.shape
+    pts_out = np.zeros((b, t + 1, 2), np.int32)
+    seg_out = np.zeros((b, t), bool)
+    rows = np.arange(t)
+    for i in range(b):
+        stroke = batch[i]
+        if ch == 5:
+            end = stroke[:, 4] > 0
+            idx = int(np.argmax(end))
+            l = idx if (end.any() and idx > 0) else t - 1
+            pen = stroke[:, 3].copy()
+            pen[l] = 1.0
+        else:
+            l = t - 1
+            pen = stroke[:, 2]
+        valid = rows <= l
+        xy = np.where(valid[:, None], stroke[:, :2], 0.0)
+        pts = np.concatenate([np.zeros((1, 2)), xy]).cumsum(axis=0)
+        vext = np.concatenate([[True], valid])
+        lo = pts[vext].min(axis=0)
+        hi = pts[vext].max(axis=0)
+        rng = np.where(hi - lo > 0, hi - lo, 1.0)
+        scaled = (pts - lo) / rng * (HI - LO) + LO
+        pts_out[i] = scaled.astype(np.int32)
+        pen_ext = np.concatenate([[0.0], pen])
+        seg_out[i] = valid & (pen_ext[:-1] == 0)
+    return pts_out, seg_out
+
+
+def rasterize_prepared(
+    points: jax.Array, seg_draw: jax.Array, side: int = CANVAS,
+    dilate: bool = True,
+) -> jax.Array:
+    """Device rasterization of pre-computed integer points (see
+    :func:`prepare_points_host`): (B, N, 2) + (B, N-1) -> 0/255 float."""
+    canvas = rasterize_points(points, seg_draw, side=side)
+    if dilate:
+        canvas = binary_dilate_cross(canvas)
+    return canvas.astype(jnp.float32) * 255.0
+
+
 @functools.partial(jax.jit, static_argnames=("side", "dilate"))
 def rasterize_strokes(
     batch: jax.Array, side: int = CANVAS, dilate: bool = True

@@ -83,3 +83,31 @@ def test_end_token_truncation():
     a = np.asarray(R.rasterize_strokes(jnp.array(s[None])))
     ref = RR.rasterize_stroke5_np(s)
     np.testing.assert_array_equal(a[0], ref)
+
+
+def test_host_prepared_pipeline_exact(rng):
+    """prepare_points_host (float64 scaling) + device rasterize_points is
+    BIT-EXACT vs the reference oracle — the exactness gap of the all-device
+    f32 path (its +1e-3 trunc nudge) is closed by pre-computing integer
+    points on the host (VectorizedSketchy caches do this)."""
+    batch = np.stack([_random_stroke5(rng) for _ in range(6)])
+    pts, segs = R.prepare_points_host(batch)
+    ours = np.asarray(R.rasterize_prepared(jnp.asarray(pts), jnp.asarray(segs)))
+    ref = RR.batch_rasterize_relative_np(batch)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_vector_sketchy_serves_exact_raster_points(tmp_path):
+    from art_sbir_tpu.data.synthetic import make_synthetic_sketchy
+    from art_sbir_tpu.data import get_datasets
+
+    root = make_synthetic_sketchy(tmp_path / "sketchy", with_svg=True)
+    train, _ = get_datasets("VectorizedSketchyV1", size=1.0, root=root,
+                            img_format="svg")
+    it = train.item(0)
+    assert it["raster_points"].dtype == np.int32
+    assert it["raster_points"].shape[0] == it["sketch_vector"].shape[0] + 1
+    assert it["raster_segs"].dtype == bool
+    pts, segs = R.prepare_points_host(it["sketch_vector"][None])
+    np.testing.assert_array_equal(pts[0], it["raster_points"])
+    np.testing.assert_array_equal(segs[0], it["raster_segs"])
