@@ -66,11 +66,20 @@ def main(argv=None) -> None:
         root = Path(args.data_root) if args.data_root else Path("data/kaggle")
         out_dir = root / f"{args.name}_drawings"
     else:
+        # reference create_drawings.py:78 builds an UnpairedDepthDataset
+        # per class dir in test mode (recursive glob, 10k cap per class)
+        from art_sbir_tpu.data.unpaired import UnpairedImageCatalog
+
         root = Path(args.data_root) if args.data_root else Path("data/sketchy")
         classes = args.classes or sorted(
             d.name for d in (root / "photos").iterdir() if d.is_dir()
         )
-        paths = [p for c in classes for p in sorted((root / "photos" / c).glob("*.jpg"))]
+        paths = [
+            c.paths[i]
+            for cls in classes
+            for c in [UnpairedImageCatalog(root / "photos" / cls, mode="test")]
+            for i in range(len(c))
+        ]
         out_dir = root / f"{args.name}_drawings"
 
     out_dir.mkdir(parents=True, exist_ok=True)

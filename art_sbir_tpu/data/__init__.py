@@ -18,6 +18,7 @@ from art_sbir_tpu.data import kaggle as _kaggle  # noqa: F401,E402
 from art_sbir_tpu.data import mixed as _mixed  # noqa: F401,E402
 from art_sbir_tpu.data import quickdraw as _quickdraw  # noqa: F401,E402
 from art_sbir_tpu.data import sketchy as _sketchy  # noqa: F401,E402
+from art_sbir_tpu.data import unpaired as _unpaired  # noqa: F401,E402
 from art_sbir_tpu.data import vector_sketchy as _vector_sketchy  # noqa: F401,E402
 
 __all__ = ["get_datasets", "DATASETS"]

@@ -236,3 +236,70 @@ def test_quickdraw_catalog(tmp_path):
     it = cat.item(0)
     assert it["sketch_vector"].shape == (100, 5)
     assert abs(np.std(np.concatenate([s[:, :2].ravel() for s in cat.sketches])) - 1.0) < 0.05
+
+
+def test_unpaired_catalog_second_domain_cycles(tmp_path):
+    """Train-mode second domain: reference repeat-and-cutoff balancing
+    (drawing_utils/dataset.py:87-105) — shorter list cycles, pairing by
+    index, length = max(len(data), len(img2))."""
+    from PIL import Image
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    for i in range(7):
+        Image.new("RGB", (8, 8)).save(a / f"img{i:02d}.jpg")
+    for i in range(3):
+        Image.new("RGB", (8, 8)).save(b / f"line{i}.png")
+    from art_sbir_tpu.data.unpaired import UnpairedImageCatalog
+
+    cat = UnpairedImageCatalog(a, root2=b, mode="train")
+    assert len(cat) == 7
+    seconds = [cat.item(i)["image2"].name for i in range(len(cat))]
+    assert seconds == ["line0.png", "line1.png", "line2.png"] * 2 + ["line0.png"]
+
+    # img2 longer than data: data cycles up to len(img2)
+    for i in range(3, 10):
+        Image.new("RGB", (8, 8)).save(b / f"line{i}.png")
+    cat2 = UnpairedImageCatalog(a, root2=b, mode="train")
+    assert len(cat2) == 10
+    assert cat2.item(7)["image"].name == "img00.jpg"
+
+    # test mode ignores the second domain
+    cat3 = UnpairedImageCatalog(a, root2=b, mode="test")
+    assert len(cat3) == 7 and "image2" not in cat3.item(0)
+
+
+def test_unpaired_catalog_depth_correspondence(tmp_path):
+    """Depth mode rebuilds the image list FROM the depth maps (reference
+    dataset.py:52-75): basename match, else <stem>.jpg, else dropped."""
+    from PIL import Image
+
+    imgs, depth = tmp_path / "imgs", tmp_path / "depth"
+    imgs.mkdir(); depth.mkdir()
+    Image.new("RGB", (8, 8)).save(imgs / "x1.png")   # exact basename match
+    Image.new("RGB", (8, 8)).save(imgs / "x2.jpg")   # stem.jpg match
+    Image.new("RGB", (8, 8)).save(imgs / "x3.jpg")   # no depth -> dropped
+    Image.new("L", (8, 8)).save(depth / "x1.png")
+    Image.new("L", (8, 8)).save(depth / "x2.png")
+    Image.new("L", (8, 8)).save(depth / "x9.png")    # no image -> dropped
+    from art_sbir_tpu.data.unpaired import UnpairedImageCatalog
+
+    cat = UnpairedImageCatalog(imgs, depth_root=depth, mode="test")
+    assert [p.name for p in cat.paths] == ["x1.png", "x2.jpg"]
+    it0, it1 = cat.item(0), cat.item(1)
+    assert it0["depth"].name == "x1.png" and it1["depth"].name == "x2.png"
+    assert cat.state_dict["with_depth"]
+
+
+def test_unpaired_catalog_registered(tmp_path):
+    from PIL import Image
+
+    a = tmp_path / "a"
+    a.mkdir()
+    Image.new("RGB", (8, 8)).save(a / "i.jpg")
+    from art_sbir_tpu.data import DATASETS, get_datasets
+
+    assert "UnpairedDepth" in DATASETS
+    train, test = get_datasets("UnpairedDepth", root=a)
+    assert len(train) == 1 and len(test) == 1
+    assert test.state_dict["dataset"] == "UnpairedDepthDataset"
