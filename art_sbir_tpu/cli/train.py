@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "center crop for Sketchy/Kaggle, square for "
                         "Augmented/Mixed)")
     # TPU-framework additions
+    p.add_argument("--split_ratio", type=float, default=0.1,
+                   help="test fraction of the seeded train/test split "
+                        "(reference data_preparation.py:50)")
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--num_classes", type=int, default=125)
@@ -72,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel devices over the ICI mesh "
                         "(1 = single device, -1 = all available); batches "
                         "are sharded on dim 0 and XLA all-reduces gradients")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host (TPU pod) runtime before building "
+                        "the mesh; run the same command on every host via "
+                        "scripts/launch_pod.sh (see parallel/multihost.py)")
     return p
 
 
@@ -93,6 +100,14 @@ def main(argv=None) -> Path:
     from art_sbir_tpu.viz.plots import visualize
 
     args = build_parser().parse_args(argv)
+
+    if args.multihost:
+        from art_sbir_tpu.parallel import multihost
+
+        multihost.initialize()
+        print(f"multihost: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} global devices",
+              flush=True)
 
     sketch_type = args.sketch_type
     if sketch_type == "combination":  # reference train.py:126
@@ -118,6 +133,7 @@ def main(argv=None) -> Path:
         dataset=args.dataset, size=args.dsize, sketch_type=sketch_type,
         sketch_format=args.sketch_format, img_type=args.img_type,
         img_format=img_format, root=args.data_root,
+        split_ratio=args.split_ratio,
     )
 
     with_cls_loss = with_classification and "V2" in train_cat.state_dict["dataset"]
@@ -175,7 +191,15 @@ def main(argv=None) -> Path:
                             k: np.tile(v, (reps,) + (1,) * (v.ndim - 1))
                             for k, v in batch.items()
                         }
-                    batch = shard_batch(mesh, batch)
+                    if args.multihost and jax.process_count() > 1:
+                        # every host iterates the same seeded order; slice
+                        # this host's rows and assemble the global array
+                        from art_sbir_tpu.parallel import multihost
+
+                        batch = multihost.global_batch(
+                            mesh, multihost.local_batch_slice(batch))
+                    else:
+                        batch = shard_batch(mesh, batch)
                 else:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 key = jax.random.key(int(rng.integers(2**31)))

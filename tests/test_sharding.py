@@ -150,3 +150,31 @@ def test_train_cli_dp_matches_single_device(tmp_path, monkeypatch):
     assert i1["topk_acc"] == i8["topk_acc"]
     np.testing.assert_allclose(i1["mean_reciprocal_rank"],
                                i8["mean_reciprocal_rank"], rtol=1e-6)
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host helpers degrade to single-process semantics: initialize is
+    a no-op, the global mesh spans all (virtual) devices, and global_batch
+    equals shard_batch (process_count == 1)."""
+    import jax
+    import numpy as np
+
+    from art_sbir_tpu.parallel import multihost, shard_batch
+
+    multihost.initialize()  # no coordinator configured -> no-op
+    assert jax.process_count() == 1
+
+    mesh = multihost.global_data_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1),
+             "y": np.arange(16, dtype=np.int32)}
+    sl = multihost.local_batch_slice(batch)
+    np.testing.assert_array_equal(sl["x"], batch["x"])  # whole batch local
+
+    g = multihost.global_batch(mesh, sl)
+    ref = shard_batch(mesh, batch)
+    np.testing.assert_array_equal(np.asarray(g["x"]), np.asarray(ref["x"]))
+    assert g["x"].sharding == ref["x"].sharding
+
+    assert multihost.process_shard(8) == slice(0, 8)
