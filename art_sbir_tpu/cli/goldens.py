@@ -1,0 +1,164 @@
+"""Scale-validation goldens: run the full train -> embed -> rank -> report
+pipeline on a seeded synthetic Sketchy corpus and record recall@K / MRR /
+rank stats + wall-times as a regression golden (VERDICT round-1 item 7).
+
+Presets:
+
+* ``scale`` — >= 5k-image gallery, >= 5k query sketches (25 classes x 300
+  photos x 2 sketches, split 0.5). Run on the TPU chip; the result is
+  checked in as ``goldens/scale_tpu.json`` for cross-round comparison of
+  the same seeded recipe.
+* ``ci`` — miniature corpus sized for the CPU test suite;
+  ``tests/test_goldens.py`` re-runs it and compares metrics EXACTLY
+  against the checked-in ``goldens/ci_cpu.json`` (same backend, same
+  seeds -> bit-identical metrics). Record it under the SAME settings the
+  test suite pins (tests/conftest.py: CPU backend, 8 virtual devices,
+  ``jax_default_matmul_precision=highest``) — the ``--preset ci`` path
+  applies those automatically before touching jax.
+
+The pipeline is the real CLI path (``art_sbir_tpu.cli.train.main``), not a
+reimplementation — the golden covers catalogs, loaders, the jitted triplet
+step, gallery embedding, ranking, and the 4-JSON results contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+PRESETS = {
+    "scale": dict(n_classes=25, photos_per_class=300, sketches_per_photo=2,
+                  split_ratio=0.5, image_size=224, batch_size=32, epochs=1),
+    "ci": dict(n_classes=3, photos_per_class=4, sketches_per_photo=2,
+               split_ratio=0.5, image_size=64, batch_size=4, epochs=1),
+}
+
+
+def ensure_corpus(root: Path, preset: dict) -> Path:
+    """Generate the synthetic Sketchy corpus if absent (seeded, so the
+    same preset always produces identical pixels)."""
+    from art_sbir_tpu.data.synthetic import make_synthetic_sketchy
+
+    sk = root / "sketchy"
+    marker = sk / ".goldens_corpus.json"
+    want = {k: preset[k] for k in
+            ("n_classes", "photos_per_class", "sketches_per_photo")}
+    if marker.is_file() and json.loads(marker.read_text()) == want:
+        return sk
+    make_synthetic_sketchy(sk, n_classes=preset["n_classes"],
+                           photos_per_class=preset["photos_per_class"],
+                           sketches_per_photo=preset["sketches_per_photo"])
+    marker.write_text(json.dumps(want))
+    return sk
+
+
+def run(preset_name: str, root: Path, results_root: Path,
+        seed: int = 0) -> dict:
+    import jax
+
+    from art_sbir_tpu.cli import train as train_cli
+
+    preset = PRESETS[preset_name]
+    t0 = time.perf_counter()
+    ensure_corpus(root, preset)
+    t_data = time.perf_counter() - t0
+
+    # the stock train CLI drives the whole pipeline; split_ratio is wired
+    # through get_datasets via the dedicated flag below
+    t0 = time.perf_counter()
+    out_path = train_cli.main([
+        "-e", str(preset["epochs"]),
+        "-b", str(preset["batch_size"]),
+        "-d", "SketchyV2",
+        "--model_type", "ModifiedResNet_with_classification",
+        "--num_classes", str(preset["n_classes"]),
+        "--data_root", str(root / "sketchy"),
+        "--image_size", str(preset["image_size"]),
+        "--split_ratio", str(preset["split_ratio"]),
+        "--results_root", str(results_root),
+        "--seed", str(seed),
+        "--inference",
+    ])
+    t_pipeline = time.perf_counter() - t0
+
+    inference = json.loads((out_path / "inference.json").read_text())
+    training = json.loads((out_path / "training.json").read_text())
+    data_params = json.loads((out_path / "data_params.json").read_text())
+
+    stats = inference.get("drawing_stats", inference)
+    golden = {
+        "preset": preset_name,
+        "backend": jax.default_backend(),
+        "seed": seed,
+        "config": preset,
+        "n_gallery": int(stats["size"]),
+        "n_queries": int(stats["count"]),
+        "mrr": stats["mean_reciprocal_rank"],
+        "topk_acc": stats["topk_acc"],
+        "rank_mean": stats["mean"],
+        "rank_std": stats["std"],
+        "final_train_loss": training["train_losses"][-1],
+        "final_test_loss": training["test_losses"][-1],
+        "dataset": data_params["dataset"],
+        "wall_times_s": {
+            "data_setup": round(t_data, 2),
+            "train_embed_rank_report": round(t_pipeline, 2),
+            "inference_time": stats.get("inference_time"),
+            "training_time": training.get("training_time"),
+        },
+    }
+    return golden
+
+
+def pin_ci_environment() -> None:
+    """Mirror tests/conftest.py so the recorded ci golden is bit-comparable
+    with the suite's re-run: CPU backend, 8 virtual devices, full-precision
+    matmuls. Must run before jax initializes a backend."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def main(argv=None) -> None:
+    import sys
+
+    if "ci" in (argv or sys.argv):
+        pin_ci_environment()
+
+    from art_sbir_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description="record pipeline goldens")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="scale")
+    p.add_argument("--root", type=str, default="data/goldens")
+    p.add_argument("--results_root", type=str, default="results")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default=None,
+                   help="output JSON (default goldens/<preset>_<backend>.json)")
+    args = p.parse_args(argv)
+
+    golden = run(args.preset, Path(args.root), Path(args.results_root),
+                 args.seed)
+    out = Path(args.out) if args.out else Path(
+        f"goldens/{args.preset}_{golden['backend']}.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(golden, indent=2, sort_keys=True))
+    print(json.dumps({k: golden[k] for k in
+                      ("preset", "backend", "n_gallery", "n_queries", "mrr")}),
+          flush=True)
+    print(f"golden written to {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
