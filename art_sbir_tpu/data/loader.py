@@ -1,10 +1,16 @@
-"""Host-side batch loader: PIL decode + resize into fixed-shape uint8
-batches, with background prefetch; all further math (normalize, augment,
-rasterize) runs on device inside the jitted step.
+"""Host-side batch loader: decode + resize into fixed-shape uint8 batches,
+with background prefetch; all further math (normalize, augment, rasterize)
+runs on device inside the jitted step.
 
 Replaces the reference's torch DataLoader worker processes
 (`train.py:154-155`) — on TPU hosts the loader's only jobs are decode and
 shaping; keeping batches uint8 quarters the host->HBM transfer vs float32.
+
+Decode backends: the native C++ pipeline (``native/imgpipe.cpp`` via
+:mod:`art_sbir_tpu.data.native_loader` — threaded libjpeg/libpng decode +
+Pillow-exact resize, bit-identical output) handles whole batches without
+the GIL; PIL covers anything the native path reports as unsupported, and
+remains the reference implementation (:func:`decode_image`).
 """
 
 from __future__ import annotations
@@ -51,6 +57,43 @@ def decode_image(
     return arr
 
 
+def decode_paths(
+    paths: Sequence[Path | str],
+    size: int,
+    resize_mode: str = "square",
+    grayscale: bool = False,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Decode ``paths`` into one (N, size, size, C) uint8 batch.
+
+    ``backend``: ``"native"`` requires the C++ pipeline, ``"pil"`` forces
+    the per-image PIL path, ``"auto"`` uses native when the library loads
+    and PIL otherwise. Images the native decoder rejects (CMYK, 16-bit,
+    corrupt, exotic) are decoded with PIL individually — a PIL failure
+    there propagates to the caller (loaders wrap with their corrupt-image
+    fallback). Both backends produce bit-identical pixels."""
+    if backend not in ("auto", "native", "pil"):
+        raise ValueError(f"unknown decode backend {backend}")
+    use_native = False
+    if backend in ("auto", "native"):
+        from art_sbir_tpu.data import native_loader
+
+        use_native = native_loader.available()
+        if backend == "native" and not use_native:
+            raise native_loader.NativeUnavailable(
+                "native decode requested but libimgpipe is unavailable")
+    if use_native:
+        from art_sbir_tpu.data import native_loader
+
+        batch, failed = native_loader.decode_batch(
+            paths, size, resize_mode, grayscale=grayscale)
+        for i in failed:
+            batch[i] = decode_image(paths[i], size, resize_mode, grayscale)
+        return batch
+    return np.stack(
+        [decode_image(p, size, resize_mode, grayscale) for p in paths])
+
+
 class TripletLoader:
     """Batches a RetrievalCatalog's triplets.
 
@@ -71,6 +114,7 @@ class TripletLoader:
         seed: int = 0,
         prefetch: bool = True,
         keys=("sketch", "positive", "negative"),
+        decode_backend: str = "auto",
     ):
         self.catalog = catalog
         self.batch_size = batch_size
@@ -82,6 +126,7 @@ class TripletLoader:
         self.rng = random.Random(seed)
         self.prefetch = prefetch
         self.keys = keys
+        self.decode_backend = decode_backend
 
     def __len__(self) -> int:
         return (len(self.catalog) + self.batch_size - 1) // self.batch_size
@@ -95,13 +140,22 @@ class TripletLoader:
             key = self.keys[1] if self.keys[1] in fallback else self.keys[0]
             return decode_image(fallback[key], self.image_size, self.resize_mode)
 
+    def _decode_many(self, paths) -> np.ndarray:
+        try:
+            return decode_paths(paths, self.image_size, self.resize_mode,
+                                backend=self.decode_backend)
+        except Exception:
+            # rare corrupt file: redo this key per-image so the reference's
+            # item-0 substitution applies to exactly the broken images
+            return np.stack([self._decode(p) for p in paths])
+
     def _build(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         items = [self.catalog.item(i) for i in indices]
         batch: Dict[str, np.ndarray] = {}
         for key in self.keys:
             if key not in items[0]:
                 continue
-            batch[key] = np.stack([self._decode(it[key]) for it in items])
+            batch[key] = self._decode_many([it[key] for it in items])
         for lk in ("label", "label2", "augment"):
             if lk in items[0]:
                 batch[lk] = np.asarray([it[lk] for it in items], np.int32)
@@ -136,18 +190,17 @@ class GalleryLoader:
     ``(start, count) -> (count, S, S, 3)`` view over dedup-sorted paths."""
 
     def __init__(self, image_paths, image_size: int = 224,
-                 resize_mode: str = "square"):
+                 resize_mode: str = "square", decode_backend: str = "auto"):
         self.image_paths = list(image_paths)
         self.image_size = image_size
         self.resize_mode = resize_mode
+        self.decode_backend = decode_backend
 
     def __len__(self):
         return len(self.image_paths)
 
     def __call__(self, start: int, count: int) -> np.ndarray:
-        return np.stack(
-            [
-                decode_image(p, self.image_size, self.resize_mode)
-                for p in self.image_paths[start : start + count]
-            ]
+        return decode_paths(
+            self.image_paths[start : start + count], self.image_size,
+            self.resize_mode, backend=self.decode_backend,
         )

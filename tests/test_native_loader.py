@@ -1,0 +1,106 @@
+"""Native C++ image pipeline (native/imgpipe.cpp) parity tests.
+
+The contract is BIT-exactness against the PIL reference path
+(`data/loader.py::decode_image`) — same system libjpeg-turbo/libpng, a
+reimplementation of Pillow's fixed-point bicubic resampling, torchvision
+Resize/CenterCrop geometry (reference `models.py:289-292`,
+`transformations.py:9-15`), and PIL's integer luma for grayscale.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from art_sbir_tpu.data import native_loader
+from art_sbir_tpu.data.loader import TripletLoader, decode_image, decode_paths
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="libimgpipe build unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(7)
+    paths = []
+    for i, (h, w) in enumerate(
+        [(250, 320), (224, 224), (67, 431), (512, 300), (301, 99)]
+    ):
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        p = tmp / f"img{i}.jpg"
+        Image.fromarray(arr).save(p, quality=85)
+        paths.append(p)
+        p2 = tmp / f"img{i}.png"
+        Image.fromarray(arr).save(p2)
+        paths.append(p2)
+    pal = Image.fromarray(rng.integers(0, 256, (90, 140, 3), np.uint8)).convert("P")
+    pal.save(tmp / "pal.png")
+    rgba = Image.fromarray(rng.integers(0, 256, (90, 140, 4), np.uint8), "RGBA")
+    rgba.save(tmp / "rgba.png")
+    gray = Image.fromarray(rng.integers(0, 256, (90, 140), np.uint8), "L")
+    gray.save(tmp / "gray.png")
+    gray.save(tmp / "gray.jpg", quality=90)
+    paths += [tmp / "pal.png", tmp / "rgba.png", tmp / "gray.png", tmp / "gray.jpg"]
+    return paths
+
+
+@pytest.mark.parametrize("mode", ["square", "shortest_crop"])
+@pytest.mark.parametrize("grayscale", [False, True])
+def test_bit_parity_with_pil(corpus, mode, grayscale):
+    batch, failed = native_loader.decode_batch(
+        corpus, 224, mode, grayscale=grayscale
+    )
+    assert failed == []
+    for i, p in enumerate(corpus):
+        ref = decode_image(p, 224, mode, grayscale=grayscale)
+        np.testing.assert_array_equal(batch[i], ref, err_msg=str(p))
+
+
+def test_small_target_size(corpus):
+    batch, failed = native_loader.decode_batch(corpus[:4], 64, "shortest_crop")
+    assert failed == []
+    for i, p in enumerate(corpus[:4]):
+        np.testing.assert_array_equal(
+            batch[i], decode_image(p, 64, "shortest_crop")
+        )
+
+
+def test_corrupt_and_unsupported_reported(tmp_path, corpus):
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8garbage-that-is-not-a-jpeg")
+    notimg = tmp_path / "x.txt"
+    notimg.write_text("hello")
+    batch, failed = native_loader.decode_batch(
+        [corpus[0], bad, notimg], 64, "square"
+    )
+    assert failed == [1, 2]
+    np.testing.assert_array_equal(batch[0], decode_image(corpus[0], 64, "square"))
+
+
+def test_decode_paths_backends_agree(corpus):
+    a = decode_paths(corpus, 96, "shortest_crop", backend="native")
+    b = decode_paths(corpus, 96, "shortest_crop", backend="pil")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_triplet_loader_native_matches_pil(tmp_path):
+    from art_sbir_tpu.data import get_datasets
+    from art_sbir_tpu.data.synthetic import make_synthetic_sketchy
+
+    import random
+
+    root = make_synthetic_sketchy(tmp_path / "sketchy")
+    train, _ = get_datasets("SketchyV1", size=1.0, root=root)
+    kw = dict(batch_size=4, image_size=64, shuffle=False, prefetch=False)
+    # negatives are drawn from the catalog's RNG per item() call; pin it
+    # so both loader passes sample identical triplets
+    train.rng = random.Random(0)
+    b_native = next(iter(TripletLoader(train, decode_backend="native", **kw)))
+    train.rng = random.Random(0)
+    b_pil = next(iter(TripletLoader(train, decode_backend="pil", **kw)))
+    assert set(b_native) == set(b_pil)
+    for k in b_native:
+        np.testing.assert_array_equal(b_native[k], b_pil[k], err_msg=k)
