@@ -4,48 +4,53 @@ one pass over an HBM-resident gallery.
 The XLA formulation (:mod:`art_sbir_tpu.ops.distance`) materializes the
 (Q, N) distance matrix in HBM; at gallery scale (N >= 1M rows) that matrix
 is HBM-prohibitive (Q=4096, N=1M f32 is 16 GB) and the XLA path must fall
-back to query-chunked sweeps that re-materialize (chunk, N) blocks and pay
-``lax.top_k`` over each. This kernel instead streams gallery tiles through
-VMEM and keeps only (Q, 2K) running top-k state + (Q,) rank counters, so
-retrieval is bounded by gallery bandwidth + the MXU cross-term — never by
-distance-matrix traffic. It also sidesteps XLA's pathologically slow
-``precision=HIGHEST`` dot lowering on this backend (measured ~19-30x slower
-than the same-precision in-kernel ``dot_general``; see PERF.md).
+back to query-chunked sweeps (:func:`~art_sbir_tpu.ops.distance.retrieve_chunked`)
+that re-materialize (chunk, N) blocks and pay ``lax.top_k`` over each. This
+kernel instead streams gallery tiles through VMEM and keeps only O(Q)
+running state, so retrieval is bounded by gallery bandwidth + the MXU
+cross-term — never by distance-matrix traffic.
 
-Design (see VERDICT.md round-1 item 4):
+Design (v5 — see PERF.md for the ablation that shaped it):
 
 * **Query tiling**: grid = (q_tiles, n_tiles) with the gallery axis
-  innermost, so each query block stays VMEM-resident for a full gallery
-  sweep and the running state lives in revisited output blocks. Arbitrary
-  Q no longer has to fit in one VMEM block. Ragged edges are handled by
-  masking (no host-side pad copies — padding a 4 GB gallery per call costs
-  more than the whole sweep).
-* **One pass over the tile**: the MXU cross block is the only full-tile
-  buffer; distances, rank hits, candidate counts, and a per-lane-group
-  running top-2 are all computed in a single loop over 128-lane segments,
-  so VMEM holds ~one (TQ, TN) f32 block and tiles can be large (fewer,
-  bigger grid steps).
-* **Hierarchical top-k (group-top-2 pre-reduction)**: candidates (elements
-  <= the running k-th best) are reduced lane-wise to a per-group top-2
-  (group = one lane, tile_n/128 strided columns). The K extraction rounds
-  then run on the (TQ, 128) group matrix with in-lane replacement by the
-  group's second-best — exact whenever every group holds <= 2 candidates.
-  The expected number of running-top-k updates over a random stream is
-  K*ln(N/K) per query, so past the first tiles candidates are rare and
-  groups essentially never hold 3. When one does (and always on a sweep's
-  first tile, where the unfilled state makes everything a candidate), a
-  ``lax.cond`` falls back to an exact lexicographic multi-scan: round j
-  re-scans the segments keeping only elements lex-greater than the (value,
-  index) extracted in round j-1 — no extra full-tile buffers.
+  innermost; each query block's state lives in VMEM scratch for a full
+  gallery sweep. Ragged edges are masked (no host-side pad copies).
+* **Streaming per-lane top-4, no per-tile reductions**: the earlier design
+  extracted each tile's top-k and merged it into running state — cross-lane
+  min-reductions with a sequential dependency chain that cost ~54 us/step,
+  7x the 9.4 us/step matmul+bandwidth roofline (measured by
+  scripts/probe_fused_overhead.py). v5 instead min-merges EVERY distance
+  into a per-lane top-4 register file (value+index, (TQ, 128) planes in
+  scratch) — a straight-line insertion chain of elementwise selects that
+  hides entirely under the MXU work. The expensive extraction (K rounds of
+  cross-lane min with in-lane promotion G2<-G3<-G4) runs ONCE per sweep,
+  on the last gallery tile.
+* **Exactness certificate**: a lane's top-4 loses information only if >= 5
+  of a row's true top-k land in the same lane (k=10 over 128 lanes:
+  ~1e-6/row for random data). Every insertion tracks
+  ``E = min(E, max(G4, c))`` — the smallest value ever discarded. A row's
+  extraction is provably exact iff ``E > kth_value`` (strict: boundary
+  ties route to the fallback). The public wrapper recomputes flagged rows
+  with the exact XLA path (:func:`retrieve_chunked`) — in practice never,
+  by construction under manufactured ties.
 * **Reference eps parity**: torch's ``PairwiseDistance(p=2, eps=1e-6)``
   (reference `utils.py:42`) computes ``||q - g + eps||``; its expanded
   form is folded into the per-row norms (``qq' = |q|^2 + 2 eps sum(q) +
   D eps^2``, ``gg' = |g|^2 - 2 eps sum(g)``), so in-kernel distances,
   ranks and tie-breaks match :func:`art_sbir_tpu.ops.distance.retrieve`
   (which folds the same correction, `ops/distance.py:52-75`).
-* **Deterministic ties**: all extractions tie-break on the smallest
-  gallery index (the stable-sort order the XLA path defines; torch's own
-  topk tie order is arbitrary — see `ops/distance.py` module docstring).
+* **Deterministic ties**: insertions use strict ``<`` so the earliest
+  column wins within a lane, and extractions tie-break on the smallest
+  gallery index — the stable-sort order the XLA path defines (torch's own
+  topk tie order is arbitrary; see `ops/distance.py` module docstring).
+
+Parity envelope at ``precision='highest'``: bit-exact ranks/indices/ties
+vs the XLA path at bench scale (10k gallery). At very large N the two
+paths accumulate the same f32 cross terms under different MXU tilings, so
+strictly-closer comparisons within ~1 ulp of ``d2pos`` can flip — measured
+<=8 rank-counter flips out of ~600k at N=1M, with top-k indices/values
+still identical (PERF.md). That is f32-association noise both paths carry,
+not a tie-break difference.
 """
 
 from __future__ import annotations
@@ -55,26 +60,26 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from art_sbir_tpu.ops.distance import PAIRWISE_EPS
+from art_sbir_tpu.ops.distance import PAIRWISE_EPS, retrieve_chunked
 
 BIG = 3.0e38  # "worse than any distance" sentinel for min-based top-k
+DEPTH = 4  # per-lane top-DEPTH register file
 
 
 def _extract_min(values, indices):
     """Row-min of ``values`` with its paired gallery index, ties broken by
     the smallest index (no gathers — Mosaic-lowerable). Returns
-    (min, index, values-with-that-element-removed). Sentinel entries
-    (BIG value, sentinel index) may be multiply-picked; they are already
-    BIG so removal is a no-op."""
+    (min, index, picked-mask). Sentinel entries (BIG value, sentinel
+    index) may be multiply-picked; removal of sentinels is a no-op."""
     m = jnp.min(values, axis=1, keepdims=True)  # (Q, 1)
     sel = jnp.min(jnp.where(values == m, indices, jnp.int32(2**31 - 1)),
                   axis=1, keepdims=True)
     picked = (values == m) & (indices == sel)
-    remaining = jnp.where(picked, BIG, values)
-    return m, sel, remaining
+    return m, sel, picked
 
 
 def _fill_lane(acc, j, val):
@@ -84,147 +89,100 @@ def _fill_lane(acc, j, val):
 
 
 def _kernel(q_ref, qq_ref, d2pos_ref, pos_ref, g_ref, gg_ref,
-            rank_ref, vals_ref, idx_ref, k: int, tile_q: int, tile_n: int,
-            nq_total: int, n_total: int, precision):
+            rank_ref, vals_ref, idx_ref, exact_ref,
+            gs_ref, is_ref, ev_ref,
+            k: int, tile_n: int, n_total: int, n_steps: int, precision):
     t = pl.program_id(1)  # gallery tile (innermost grid axis)
     sub = tile_n // 128  # strided 128-lane segments per tile
+    tq = q_ref.shape[0]
 
     @pl.when(t == 0)
     def _init():
         rank_ref[:] = jnp.zeros_like(rank_ref)
-        vals_ref[:] = jnp.full_like(vals_ref, BIG)
-        idx_ref[:] = jnp.full_like(idx_ref, n_total)
-
-    q = q_ref[:]  # (TQ, D)
-    g = g_ref[:]  # (TN, D)
-    qq = qq_ref[:]  # (TQ, 1) eps-folded |q|^2
-    gg = gg_ref[:]  # (1, TN) eps-folded |g|^2
+        gs_ref[:] = jnp.full_like(gs_ref, BIG)
+        is_ref[:] = jnp.full_like(is_ref, n_total)
+        ev_ref[:] = jnp.full_like(ev_ref, BIG)
 
     cross = jax.lax.dot_general(
-        q, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
+        q_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
     )  # (TQ, TN)
     # full-tile distances, with the SAME op order as the XLA path
     # (ops/distance.py:70: (qq + gg) - 2*cross) so exact ties agree. The
     # (1, TN) -> (TQ, TN) sublane broadcast lowers at full tile width;
     # per-segment (1, 128) slice broadcasts do not, hence one full-tile
     # buffer here (fused into the matmul output) and cheap slices below.
-    d2full = jnp.maximum(qq + gg - 2.0 * cross, 0.0)
+    d2full = jnp.maximum(qq_ref[:] + gg_ref[:] - 2.0 * cross, 0.0)
 
     base = t * tile_n
-    tq = cross.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
     d2p = d2pos_ref[:]  # (TQ, 1)
     pos = pos_ref[:]  # (TQ, 1) int32
-    thresh = vals_ref[:, k - 1 : k]  # running k-th best
-    # mask garbage rows of a ragged final query block: their uninitialized
-    # distances would otherwise count as candidates and force the slow path
-    row = jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
-    rvalid = row + pl.program_id(0) * tile_q < nq_total  # (TQ, 1)
-    thresh = jnp.where(rvalid, thresh, -1.0)  # no candidates on dead rows
 
-    def seg_d2(s):
-        """Masked eps-folded squared distances of segment s + its columns."""
-        colseg = base + s * 128 + lane
-        d2s = jnp.where(colseg < n_total,
-                        d2full[:, s * 128 : (s + 1) * 128], BIG)
-        return d2s, colseg
-
-    # single pass over segments: rank partials + candidate counts +
-    # per-lane running top-2 (value, column)
+    # registers for the whole tile; written back to scratch once
+    G = [gs_ref[:, d * 128:(d + 1) * 128] for d in range(DEPTH)]
+    I = [is_ref[:, d * 128:(d + 1) * 128] for d in range(DEPTH)]
+    E = ev_ref[:]
     hit_acc = jnp.zeros((tq, 128), jnp.int32)
-    cnt = jnp.zeros((tq, 128), jnp.int32)
-    g1 = jnp.full((tq, 128), BIG, jnp.float32)
-    i1 = jnp.full((tq, 128), n_total, jnp.int32)
-    g2 = jnp.full((tq, 128), BIG, jnp.float32)
-    i2 = jnp.full((tq, 128), n_total, jnp.int32)
     for s in range(sub):
-        d2s, colseg = seg_d2(s)
-        hit = (d2s < d2p) | ((d2s == d2p) & (colseg < pos))
-        hit = hit & (d2s < BIG) & (colseg != pos)
+        colseg = base + s * 128 + lane
+        c = jnp.where(colseg < n_total,
+                      d2full[:, s * 128:(s + 1) * 128], BIG)
+        # rank: strictly closer, plus exact ties at a smaller gallery
+        # index; the positive's own column never counts toward its rank
+        hit = (c < d2p) | ((c == d2p) & (colseg < pos))
+        hit = hit & (c < BIG) & (colseg != pos)
         hit_acc += hit.astype(jnp.int32)
 
-        c = jnp.where(d2s <= thresh, d2s, BIG)  # candidates only
-        cnt += (c < BIG).astype(jnp.int32)
-        # running top-2 insert (strict <, so earlier columns win ties)
-        better1 = c < g1
-        better2 = (c < g2) & ~better1
-        g2 = jnp.where(better1, g1, jnp.where(better2, c, g2))
-        i2 = jnp.where(better1, i1, jnp.where(better2, colseg, i2))
-        g1 = jnp.where(better1, c, g1)
-        i1 = jnp.where(better1, colseg, i1)
-    i1 = jnp.where(g1 < BIG, i1, n_total)
-    i2 = jnp.where(g2 < BIG, i2, n_total)
+        # streaming top-DEPTH insert (strict <: earlier columns win ties).
+        # whichever of {G1..G4, c} is discarded equals max(G4, c) — track
+        # its minimum as the exactness certificate.
+        E = jnp.minimum(E, jnp.maximum(G[DEPTH - 1], c))
+        better = [c < G[d] for d in range(DEPTH)]
+        for d in range(DEPTH - 1, 0, -1):
+            G[d] = jnp.where(better[d - 1], G[d - 1],
+                             jnp.where(better[d], c, G[d]))
+            I[d] = jnp.where(better[d - 1], I[d - 1],
+                             jnp.where(better[d], colseg, I[d]))
+        G[0] = jnp.where(better[0], c, G[0])
+        I[0] = jnp.where(better[0], colseg, I[0])
 
+    for d in range(DEPTH):
+        gs_ref[:, d * 128:(d + 1) * 128] = G[d]
+        is_ref[:, d * 128:(d + 1) * 128] = I[d]
+    ev_ref[:] = E
     rank_ref[:] += jnp.sum(hit_acc, axis=1, keepdims=True)
 
-    cmax = jnp.max(jnp.sum(cnt, axis=1, keepdims=True))  # most cands per row
-    deep = jnp.max(cnt)  # deepest single lane group
-
-    @pl.when(cmax > 0)
-    def _insert_and_merge():
-        def fast(_):
-            # exact while every group holds <= 2 candidates: extract with
-            # in-lane replacement by the group's second-best
-            av = jnp.full((tq, k), BIG, jnp.float32)
-            ai = jnp.full((tq, k), n_total, jnp.int32)
-            work, wi, sec, si = g1, i1, g2, i2
-            for j in range(k):
-                m, sel, _ = _extract_min(work, wi)
-                picked = (work == m) & (wi == sel)
-                work = jnp.where(picked, sec, work)
-                wi = jnp.where(picked, si, wi)
-                sec = jnp.where(picked, BIG, sec)
-                si = jnp.where(picked, n_total, si)
-                av = _fill_lane(av, j, m)
-                ai = _fill_lane(ai, j, sel)
-            return av, ai
-
-        def slow(_):
-            # exact lexicographic multi-scan: round j keeps only elements
-            # (value, col) lex-greater than round j-1's pick, re-reducing
-            # the segments each round — k extra tile passes, no buffers.
-            av = jnp.full((tq, k), BIG, jnp.float32)
-            ai = jnp.full((tq, k), n_total, jnp.int32)
-            last_v = jnp.full((tq, 1), -1.0, jnp.float32)
-            last_i = jnp.full((tq, 1), -1, jnp.int32)
-            for j in range(k):
-                best = jnp.full((tq, 128), BIG, jnp.float32)
-                bidx = jnp.full((tq, 128), n_total, jnp.int32)
-                for s in range(sub):
-                    d2s, colseg = seg_d2(s)
-                    ok = (d2s <= thresh) & (
-                        (d2s > last_v) | ((d2s == last_v) & (colseg > last_i))
-                    )
-                    c = jnp.where(ok, d2s, BIG)
-                    better = c < best
-                    bidx = jnp.where(better, colseg, bidx)
-                    best = jnp.minimum(c, best)
-                m, sel, _ = _extract_min(best, bidx)
-                av = _fill_lane(av, j, m)
-                ai = _fill_lane(ai, j, sel)
-                last_v, last_i = m, sel
-            return av, ai
-
-        av, ai = jax.lax.cond(deep > 2, slow, fast, None)
-        vals_ref[:, k:] = av
-        idx_ref[:, k:] = ai
-
-        # merge running K + tile K (2K candidates) -> new running K,
-        # ascending by (value, gallery index)
-        cand_v = vals_ref[:]  # (TQ, 2K)
-        cand_i = idx_ref[:]
+    @pl.when(t == n_steps - 1)
+    def _extract():
+        # K rounds of cross-lane min with in-lane promotion through the
+        # top-DEPTH file — exact whenever no lane discarded a value that
+        # could belong to the top-k (certified below).
+        Gx = [gs_ref[:, d * 128:(d + 1) * 128] for d in range(DEPTH)]
+        Ix = [is_ref[:, d * 128:(d + 1) * 128] for d in range(DEPTH)]
+        av = jnp.full((tq, k), BIG, jnp.float32)
+        ai = jnp.full((tq, k), n_total, jnp.int32)
         for j in range(k):
-            m, sel, cand_v = _extract_min(cand_v, cand_i)
-            vals_ref[:, j : j + 1] = m
-            idx_ref[:, j : j + 1] = sel
-        vals_ref[:, k:] = jnp.full_like(vals_ref[:, k:], BIG)
-        idx_ref[:, k:] = jnp.full_like(idx_ref[:, k:], n_total)
+            m, sel, picked = _extract_min(Gx[0], Ix[0])
+            for d in range(DEPTH - 1):
+                Gx[d] = jnp.where(picked, Gx[d + 1], Gx[d])
+                Ix[d] = jnp.where(picked, Ix[d + 1], Ix[d])
+            Gx[DEPTH - 1] = jnp.where(picked, BIG, Gx[DEPTH - 1])
+            Ix[DEPTH - 1] = jnp.where(picked, n_total, Ix[DEPTH - 1])
+            av = _fill_lane(av, j, m)
+            ai = _fill_lane(ai, j, sel)
+        vals_ref[:] = av
+        idx_ref[:] = ai
+        # certificate: nothing discarded could displace the k-th value.
+        # strict >, so boundary ties defer to the exact XLA fallback.
+        emin = jnp.min(ev_ref[:], axis=1, keepdims=True)
+        kth = av[:, k - 1:k]
+        exact_ref[:] = (emin > kth).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "tile_q", "tile_n", "interpret", "precision"))
-def retrieve_fused(
+def retrieve_fused_core(
     queries: jax.Array,
     gallery: jax.Array,
     pos_idx: jax.Array,
@@ -233,24 +191,16 @@ def retrieve_fused(
     tile_n: int | None = None,
     interpret: bool = False,
     precision: str = "highest",
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(ranks, topk_sq_values, topk_indices) — euclidean (squared) metric.
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Jitted kernel sweep: (ranks, topk_sq_values, topk_indices, exact).
 
-    Matches :func:`art_sbir_tpu.ops.distance.retrieve` semantics including
-    the torch PairwiseDistance ``eps=1e-6`` folding (values are *squared*
-    eps-folded distances; take sqrt for reporting parity).
-
-    ``precision='highest'`` runs full-f32 MXU passes for rank/tie parity
-    with the XLA path. ``'default'`` streams the gallery in bfloat16 —
-    half the HBM traffic and faster MXU passes at ~1e-2 relative distance
-    error (top-k sets are stable; exact tie order may differ and d2pos
-    comparisons shift at that scale). For repeated big-N sweeps pass the
-    gallery already as bfloat16 to skip the per-call cast.
-
-    Memory: O(Q*K) state instead of the XLA path's O(Q*N) distance matrix;
-    the gallery is read ceil(Q / tile_q) times, so batch queries as large
-    as VMEM allows when sweeping big galleries.
-    """
+    ``exact`` is the per-row certificate; rows where it is 0 must be
+    recomputed with the XLA path for guaranteed parity (the public
+    :func:`retrieve_fused` does this). Benchmarks time this core — the
+    certificate makes the fast path's exactness checkable without paying
+    for it."""
+    if k > 128:
+        raise ValueError(f"k must be <= 128 (per-lane extraction), got {k}")
     nq, d = queries.shape
     n = gallery.shape[0]
     # default tiles sized to the 16 MB VMEM budget (gallery tile double
@@ -292,9 +242,9 @@ def retrieve_fused(
 
     n_steps = -(-n // tile_n)
     q_steps = -(-nq // tile_q)
-    kernel = functools.partial(_kernel, k=k, tile_q=tile_q, tile_n=tile_n,
-                               nq_total=nq, n_total=n, precision=prec)
-    rank2d, vals2d, idx2d = pl.pallas_call(
+    kernel = functools.partial(_kernel, k=k, tile_n=tile_n, n_total=n,
+                               n_steps=n_steps, precision=prec)
+    rank2d, vals2d, idx2d, exact2d = pl.pallas_call(
         kernel,
         grid=(q_steps, n_steps),
         in_specs=[
@@ -314,15 +264,23 @@ def retrieve_fused(
         out_specs=[
             pl.BlockSpec((tile_q, 1), lambda tq, tn: (tq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 2 * k), lambda tq, tn: (tq, 0),
+            pl.BlockSpec((tile_q, k), lambda tq, tn: (tq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 2 * k), lambda tq, tn: (tq, 0),
+            pl.BlockSpec((tile_q, k), lambda tq, tn: (tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda tq, tn: (tq, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nq, 1), jnp.int32),
-            jax.ShapeDtypeStruct((nq, 2 * k), jnp.float32),
-            jax.ShapeDtypeStruct((nq, 2 * k), jnp.int32),
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+            jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, DEPTH * 128), jnp.float32),
+            pltpu.VMEM((tile_q, DEPTH * 128), jnp.int32),
+            pltpu.VMEM((tile_q, 128), jnp.float32),
         ],
         # the default 16 MiB *scoped* vmem budget rejects f32 tiles that fit
         # comfortably in the 128 MiB physical VMEM; raise it (the axon
@@ -333,4 +291,56 @@ def retrieve_fused(
         interpret=interpret,
     )(q_in, qq, d2pos, pos2d, g_in, gg_full)
 
-    return rank2d[:, 0], vals2d[:, :k], idx2d[:, :k]
+    return rank2d[:, 0], vals2d, idx2d, exact2d[:, 0]
+
+
+def retrieve_fused(
+    queries: jax.Array,
+    gallery: jax.Array,
+    pos_idx: jax.Array,
+    k: int = 10,
+    tile_q: int | None = None,
+    tile_n: int | None = None,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(ranks, topk_sq_values, topk_indices) — euclidean (squared) metric.
+
+    Matches :func:`art_sbir_tpu.ops.distance.retrieve` semantics including
+    the torch PairwiseDistance ``eps=1e-6`` folding (values are *squared*
+    eps-folded distances; take sqrt for reporting parity).
+
+    ``precision='highest'`` runs full-f32 MXU passes for rank/tie parity
+    with the XLA path. ``'default'`` streams the gallery in bfloat16 —
+    half the HBM traffic and faster MXU passes at ~1e-2 relative distance
+    error (top-k sets are stable; exact tie order may differ and fallback
+    rows recompute at XLA-default numerics). For repeated big-N sweeps
+    pass the gallery already as bfloat16 to skip the per-call cast.
+
+    Memory: O(Q) state instead of the XLA path's O(Q*N) distance matrix;
+    the gallery is read ceil(Q / tile_q) times, so batch queries as large
+    as VMEM allows when sweeping big galleries.
+
+    Rows whose in-kernel exactness certificate fails (>= DEPTH+1 of the
+    row's true top-k in one VPU lane, or value ties at the k-th boundary —
+    ~1e-6 probability on continuous data, always detected) are recomputed
+    with the exact XLA path; this host-side check syncs on the result,
+    which retrieval callers do anyway.
+    """
+    ranks, vals, idx, exact = retrieve_fused_core(
+        queries, gallery, pos_idx, k=k, tile_q=tile_q, tile_n=tile_n,
+        interpret=interpret, precision=precision)
+    exact_h = np.asarray(exact)
+    if exact_h.all():
+        return ranks, vals, idx
+    bad = np.nonzero(exact_h == 0)[0]
+    rb, vb, ib = retrieve_chunked(
+        jnp.take(queries, bad, axis=0), gallery,
+        jnp.take(pos_idx, bad, axis=0), k=k, precision=precision,
+        chunk=min(256, max(1, len(bad))))
+    ranks = jnp.asarray(np.asarray(ranks)).at[bad].set(rb)
+    # XLA fallback returns sqrt'd eps-folded distances; square for the
+    # kernel's squared-value contract
+    vals = jnp.asarray(np.asarray(vals)).at[bad].set(jnp.square(vb))
+    idx = jnp.asarray(np.asarray(idx)).at[bad].set(ib)
+    return ranks, vals, idx

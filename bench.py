@@ -34,6 +34,7 @@ N_QUERIES = 512
 BASELINE_QUERIES = 64  # reference loop is slow; measure a subset
 BIG_N = 1_000_000
 BIG_Q = 4096
+ROUNDS = 4  # interleaved timing rounds; report min (time-shared chip)
 
 
 def log(msg: str) -> None:
@@ -71,7 +72,8 @@ def bench_retrieval(rtt: float) -> dict:
     import jax.numpy as jnp
 
     from art_sbir_tpu.ops.distance import retrieve
-    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
+    from art_sbir_tpu.ops.retrieval_pallas import (retrieve_fused,
+                                                   retrieve_fused_core)
 
     key = jax.random.key(42)
     kg, kq = jax.random.split(key)
@@ -89,22 +91,29 @@ def bench_retrieval(rtt: float) -> dict:
               and (np.asarray(r0) == np.asarray(r1)).all())
     log(f"10k fused-vs-XLA exact rank/idx parity: {ok}")
 
-    out = {}
-    out["fused_highest"] = honest_timeit(
-        lambda qq: retrieve_fused(qq, g, p, k=10), q, 20, rtt)
-    out["fused_default"] = honest_timeit(
-        lambda qq: retrieve_fused(qq, gb, p, k=10, precision="default"),
-        q, 20, rtt)
-    out["xla_highest"] = honest_timeit(
-        lambda qq: retrieve(qq, g, p, k=10), q, 5, rtt)
-    out["xla_default"] = honest_timeit(
-        lambda qq: retrieve(qq, g, p, k=10, precision="default"), q, 10, rtt)
-
-    # single-query serving latency (fused, parity precision)
+    # time the jitted core: the public wrapper's exactness-certificate
+    # check syncs on the host, which through the axon tunnel adds one RTT
+    # per call (an artifact of this harness, ~us on a real TPU VM).
+    # The chip is time-shared with preemption bursts that dwarf these
+    # sub-10ms calls, so configs are INTERLEAVED across rounds and each
+    # reports its min (see CLAUDE.md / PERF.md on benchmark trust).
     q1 = q[:1]
     p1 = p[:1]
-    out["fused_p50_query_s"] = honest_timeit(
-        lambda qq: retrieve_fused(qq, g, p1, k=10), q1, 20, rtt)
+    cfgs = {
+        "fused_highest": (lambda qq: retrieve_fused_core(qq, g, p, k=10),
+                          q, 20),
+        "fused_default": (lambda qq: retrieve_fused_core(
+            qq, gb, p, k=10, precision="default"), q, 20),
+        "xla_highest": (lambda qq: retrieve(qq, g, p, k=10), q, 5),
+        "xla_default": (lambda qq: retrieve(qq, g, p, k=10,
+                                            precision="default"), q, 10),
+        "fused_p50_query_s": (lambda qq: retrieve_fused_core(
+            qq, g, p1, k=10), q1, 20),
+    }
+    out = {name: float("inf") for name in cfgs}
+    for _ in range(ROUNDS):
+        for name, (fn, qq, reps) in cfgs.items():
+            out[name] = min(out[name], honest_timeit(fn, qq, reps, rtt))
     return out
 
 
@@ -116,7 +125,7 @@ def bench_big_gallery(rtt: float) -> None:
     import jax.numpy as jnp
 
     from art_sbir_tpu.ops.distance import retrieve_chunked
-    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
+    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_core
 
     key = jax.random.key(7)
     kg, kq = jax.random.split(key)
@@ -126,14 +135,16 @@ def bench_big_gallery(rtt: float) -> None:
     gb = g.astype(jnp.bfloat16)
     _ = np.asarray(gb[0, 0])
 
-    fused = honest_timeit(
-        lambda qq: retrieve_fused(qq, gb, p, k=10, precision="default"),
-        q, 3, rtt)
+    fused, chunked = float("inf"), float("inf")
+    for _ in range(ROUNDS):  # interleaved min-of-rounds (time-shared chip)
+        fused = min(fused, honest_timeit(
+            lambda qq: retrieve_fused_core(qq, gb, p, k=10,
+                                           precision="default"), q, 2, rtt))
+        chunked = min(chunked, honest_timeit(
+            lambda qq: retrieve_chunked(qq, g, p, k=10, precision="default",
+                                        chunk=256), q, 1, rtt))
     log(f"1M-gallery fused (bf16 stream): {fused*1e3:.0f} ms "
         f"for {BIG_Q} queries = {BIG_Q/fused:,.0f} qps")
-    chunked = honest_timeit(
-        lambda qq: retrieve_chunked(qq, g, p, k=10, precision="default",
-                                    chunk=256), q, 2, rtt)
     log(f"1M-gallery chunked XLA (bf16 matmul): {chunked*1e3:.0f} ms "
         f"= {BIG_Q/chunked:,.0f} qps -> fused speedup {chunked/fused:.2f}x")
 
@@ -182,14 +193,16 @@ def bench_encoder(rtt: float) -> float:
     fwd = jax.jit(forward)
     out = fwd(x)
     _ = np.asarray(out[0, 0])
-    runs = 10
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        out = fwd(x)
-        x = x + (out[0, 0] * 0).astype(jnp.uint8)  # chain, value unchanged
-    _ = np.asarray(out[0, 0])
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / runs
-    return batch / dt
+    runs = 5
+    best = float("inf")
+    for _ in range(ROUNDS):  # min-of-rounds (time-shared chip)
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            out = fwd(x)
+            x = x + (out[0, 0] * 0).astype(jnp.uint8)  # chain, no-op value
+        _ = np.asarray(out[0, 0])
+        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9) / runs)
+    return batch / best
 
 
 def main() -> None:
