@@ -56,12 +56,23 @@ def initialize(
     if not explicit:
         import os
 
-        hosts = [
-            h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
-            if h
-        ]
-        if len(hosts) <= 1 and not os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            return  # nothing multi-worker configured -> single-process run
+        # explicit env contract for non-TPU clusters (mirrors what
+        # scripts/validate_multihost_cpu.py and generic launchers set);
+        # TPU pods auto-detect inside jax.distributed.initialize
+        env_addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if env_addr:
+            coordinator_address = env_addr
+            if os.environ.get("JAX_NUM_PROCESSES"):
+                num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+            if os.environ.get("JAX_PROCESS_ID"):
+                process_id = int(os.environ["JAX_PROCESS_ID"])
+        else:
+            hosts = [
+                h for h in
+                os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h
+            ]
+            if len(hosts) <= 1:
+                return  # nothing multi-worker configured -> single-process
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
