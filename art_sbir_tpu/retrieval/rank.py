@@ -27,6 +27,12 @@ import pandas as pd
 from art_sbir_tpu.core.metrics import Timer
 from art_sbir_tpu.ops.distance import retrieve
 
+# gallery size above which evaluate_retrieval streams through the fused
+# Pallas kernel instead of materializing (chunk, N) distance matrices —
+# around here the matrix stops fitting comfortably and the kernel's
+# bandwidth-bound sweep wins (PERF.md 1M measurements)
+FUSED_GALLERY_THRESHOLD = 200_000
+
 
 def sketch_stem_to_name(sketch_path: Path | str, artworks_gallery: bool) -> Optional[str]:
     """Reference `inference.py:33-37` stem-parsing rules.
@@ -81,7 +87,13 @@ def evaluate_retrieval(
     sample_seed: int = 11,
     n_samples: int = 10,
 ) -> Dict:
-    """Full retrieval eval -> the reference's inference dict schema."""
+    """Full retrieval eval -> the reference's inference dict schema.
+
+    Galleries past ``FUSED_GALLERY_THRESHOLD`` rows (euclidean metric)
+    route through the fused Pallas kernel — O(Q) state instead of a
+    per-chunk (chunk, N) distance matrix, measured 6.2x the chunked XLA
+    path at N=1M (PERF.md) — with the kernel's exactness certificate
+    falling back to the XLA path per row when it cannot prove parity."""
     timer = Timer()
     n_gallery = len(image_paths)
     pos = positive_indices(sketch_paths, image_paths)
@@ -89,6 +101,9 @@ def evaluate_retrieval(
 
     gal = jnp.asarray(gallery_features, jnp.float32)
     k_eff = min(k, n_gallery)  # tiny-gallery clamp; metrics still report k
+    use_fused = (loss_type == "euclidean"
+                 and n_gallery >= FUSED_GALLERY_THRESHOLD
+                 and k_eff <= 128)
     ranks = np.zeros(len(sketch_paths), np.int64)
     topk_idx = np.zeros((len(sketch_paths), k_eff), np.int64)
     topk_val = np.zeros((len(sketch_paths), k_eff), np.float32)
@@ -97,7 +112,13 @@ def evaluate_retrieval(
         e = min(s + query_chunk, len(sketch_paths))
         q = jnp.asarray(query_features[s:e], jnp.float32)
         p = jnp.asarray(np.where(missing[s:e], 0, pos[s:e]))
-        r, v, i = retrieve(q, gal, p, k=k_eff, metric=loss_type)
+        if use_fused:
+            from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
+
+            r, v2, i = retrieve_fused(q, gal, p, k=k_eff)
+            v = jnp.sqrt(v2)  # kernel reports squared eps-folded distances
+        else:
+            r, v, i = retrieve(q, gal, p, k=k_eff, metric=loss_type)
         ranks[s:e] = np.asarray(r)
         topk_val[s:e] = np.asarray(v)
         topk_idx[s:e] = np.asarray(i)

@@ -88,7 +88,7 @@ def test_embed_batched_pads_tail(rng):
     imgs = rng.standard_normal((10, 8, 8, 3)).astype(np.float32)
     feats = E.embed_batched(apply_fn, imgs, batch_size=4)
     assert feats.shape == (10, 3)
-    np.testing.assert_allclose(feats, imgs.mean(axis=(1, 2)), rtol=1e-5)
+    np.testing.assert_allclose(feats, imgs.mean(axis=(1, 2)), rtol=2e-4)
 
 
 def test_feature_cache_roundtrip(tmp_path, rng):
@@ -133,3 +133,42 @@ def test_retrieval_samples_seed_matches_reference_rng(rng):
         for s in stats["retrieval_samples"]
     )
     assert got == expected
+
+
+def test_evaluate_retrieval_fused_routing_matches_xla(rng, monkeypatch):
+    """Past FUSED_GALLERY_THRESHOLD the eval routes through the fused
+    Pallas kernel; with the threshold monkeypatched down (and the kernel
+    interpret-lowered — the CPU test backend has no Mosaic compiler) the
+    inference dict must match the XLA path: identical ranks/metrics/sample
+    ordering, distances to float rounding."""
+    d = 32
+    gal = rng.standard_normal((300, d)).astype(np.float32)
+    image_paths = [f"g/img{i}.jpg" for i in range(300)]
+    sketch_paths = [f"s/img{i}-1.png" for i in range(40)]
+    queries = gal[:40] + 0.05 * rng.standard_normal((40, d)).astype(np.float32)
+
+    ref = R.evaluate_retrieval(queries, gal, sketch_paths, image_paths, k=10)
+
+    import art_sbir_tpu.ops.retrieval_pallas as RP
+
+    orig = RP.retrieve_fused
+
+    def fused_interpret(*args, **kw):
+        kw["interpret"] = True  # CPU test backend has no Mosaic compiler
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(RP, "retrieve_fused", fused_interpret)
+    monkeypatch.setattr(R, "FUSED_GALLERY_THRESHOLD", 100)
+    got = R.evaluate_retrieval(queries, gal, sketch_paths, image_paths, k=10)
+
+    assert got["mean_reciprocal_rank"] == ref["mean_reciprocal_rank"]
+    assert got["topk_acc"] == ref["topk_acc"]
+    assert got["mean"] == ref["mean"]
+    # sample ordering/paths identical; distances agree to float rounding
+    # (the kernel reports squared values, sqrt'd for the schema)
+    for gs, rs in zip(got["retrieval_samples"], ref["retrieval_samples"]):
+        (gk, gv), (rk, rv) = next(iter(gs.items())), next(iter(rs.items()))
+        assert gk == rk
+        assert [p for p, _ in gv] == [p for p, _ in rv]
+        np.testing.assert_allclose([x for _, x in gv], [x for _, x in rv],
+                                   rtol=2e-4)
