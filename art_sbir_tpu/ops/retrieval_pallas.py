@@ -64,7 +64,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from art_sbir_tpu.ops.distance import PAIRWISE_EPS, retrieve_chunked
+from art_sbir_tpu.ops.distance import (COSINE_EPS, PAIRWISE_EPS,
+                                       retrieve_chunked)
 
 BIG = 3.0e38  # "worse than any distance" sentinel for min-based top-k
 DEPTH = 4  # per-lane top-DEPTH register file
@@ -91,7 +92,8 @@ def _fill_lane(acc, j, val):
 def _kernel(q_ref, qq_ref, d2pos_ref, pos_ref, g_ref, gg_ref,
             rank_ref, vals_ref, idx_ref, exact_ref,
             gs_ref, is_ref, ev_ref,
-            k: int, tile_n: int, n_total: int, n_steps: int, precision):
+            k: int, tile_n: int, n_total: int, n_steps: int, precision,
+            metric: str):
     t = pl.program_id(1)  # gallery tile (innermost grid axis)
     sub = tile_n // 128  # strided 128-lane segments per tile
     tq = q_ref.shape[0]
@@ -108,11 +110,16 @@ def _kernel(q_ref, qq_ref, d2pos_ref, pos_ref, g_ref, gg_ref,
         preferred_element_type=jnp.float32, precision=precision,
     )  # (TQ, TN)
     # full-tile distances, with the SAME op order as the XLA path
-    # (ops/distance.py:70: (qq + gg) - 2*cross) so exact ties agree. The
-    # (1, TN) -> (TQ, TN) sublane broadcast lowers at full tile width;
-    # per-segment (1, 128) slice broadcasts do not, hence one full-tile
-    # buffer here (fused into the matmul output) and cheap slices below.
-    d2full = jnp.maximum(qq_ref[:] + gg_ref[:] - 2.0 * cross, 0.0)
+    # (ops/distance.py: (qq + gg) - 2*cross resp. 1 - dot/max(nq*ng, eps))
+    # so exact ties agree. The (1, TN) -> (TQ, TN) sublane broadcast lowers
+    # at full tile width; per-segment (1, 128) slice broadcasts do not,
+    # hence one full-tile buffer here (fused into the matmul output) and
+    # cheap slices below. qq/gg carry eps-folded squared norms (euclidean)
+    # or plain L2 norms (cosine).
+    if metric == "euclidean":
+        d2full = jnp.maximum(qq_ref[:] + gg_ref[:] - 2.0 * cross, 0.0)
+    else:  # cosine: torch CosineSimilarity clamp semantics
+        d2full = 1.0 - cross / jnp.maximum(qq_ref[:] * gg_ref[:], COSINE_EPS)
 
     base = t * tile_n
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
@@ -181,7 +188,7 @@ def _kernel(q_ref, qq_ref, d2pos_ref, pos_ref, g_ref, gg_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "tile_q", "tile_n", "interpret", "precision"))
+    "k", "tile_q", "tile_n", "interpret", "precision", "metric"))
 def retrieve_fused_core(
     queries: jax.Array,
     gallery: jax.Array,
@@ -191,6 +198,7 @@ def retrieve_fused_core(
     tile_n: int | None = None,
     interpret: bool = False,
     precision: str = "highest",
+    metric: str = "euclidean",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Jitted kernel sweep: (ranks, topk_sq_values, topk_indices, exact).
 
@@ -215,19 +223,28 @@ def retrieve_fused_core(
         raise ValueError(f"tile_n must be a multiple of 128, got {tile_n}")
     eps = PAIRWISE_EPS
 
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError(f"unknown metric {metric!r} (euclidean|cosine)")
     q32 = queries.astype(jnp.float32)
     g32 = gallery.astype(jnp.float32)
-    # expanded-form eps folding (ops/distance.py:52-75): ||q - g + eps||^2
-    # = (|q|^2 + 2 eps sum q + D eps^2) + (|g|^2 - 2 eps sum g) - 2 q.g
-    qq = (jnp.sum(q32 * q32, axis=1, keepdims=True)
-          + 2.0 * eps * jnp.sum(q32, axis=1, keepdims=True) + d * eps * eps)
-    gg_full = (jnp.sum(g32 * g32, axis=1)
-               - 2.0 * eps * jnp.sum(g32, axis=1))[None, :]
     pos_c = jnp.clip(pos_idx, 0, n - 1)
     g_pos = jnp.take(g32, pos_c, axis=0)
     cross_pos = jnp.sum(q32 * g_pos, axis=1, keepdims=True)
-    d2pos = jnp.maximum(
-        qq + jnp.take(gg_full[0], pos_c)[:, None] - 2.0 * cross_pos, 0.0)
+    if metric == "euclidean":
+        # expanded-form eps folding (ops/distance.py): ||q - g + eps||^2
+        # = (|q|^2 + 2 eps sum q + D eps^2) + (|g|^2 - 2 eps sum g) - 2 q.g
+        qq = (jnp.sum(q32 * q32, axis=1, keepdims=True)
+              + 2.0 * eps * jnp.sum(q32, axis=1, keepdims=True)
+              + d * eps * eps)
+        gg_full = (jnp.sum(g32 * g32, axis=1)
+                   - 2.0 * eps * jnp.sum(g32, axis=1))[None, :]
+        d2pos = jnp.maximum(
+            qq + jnp.take(gg_full[0], pos_c)[:, None] - 2.0 * cross_pos, 0.0)
+    else:  # cosine: qq/gg carry plain L2 norms (torch CosineSimilarity)
+        qq = jnp.linalg.norm(q32, axis=1, keepdims=True)
+        gg_full = jnp.linalg.norm(g32, axis=1)[None, :]
+        d2pos = 1.0 - cross_pos / jnp.maximum(
+            qq * jnp.take(gg_full[0], pos_c)[:, None], COSINE_EPS)
     pos2d = pos_idx.astype(jnp.int32)[:, None]
 
     if precision == "default":
@@ -243,7 +260,8 @@ def retrieve_fused_core(
     n_steps = -(-n // tile_n)
     q_steps = -(-nq // tile_q)
     kernel = functools.partial(_kernel, k=k, tile_n=tile_n, n_total=n,
-                               n_steps=n_steps, precision=prec)
+                               n_steps=n_steps, precision=prec,
+                               metric=metric)
     rank2d, vals2d, idx2d, exact2d = pl.pallas_call(
         kernel,
         grid=(q_steps, n_steps),
@@ -303,8 +321,13 @@ def retrieve_fused(
     tile_n: int | None = None,
     interpret: bool = False,
     precision: str = "highest",
+    metric: str = "euclidean",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(ranks, topk_sq_values, topk_indices) — euclidean (squared) metric.
+    """(ranks, topk_values, topk_indices) over the streamed gallery.
+
+    ``metric='euclidean'`` reports *squared* eps-folded distances (take
+    sqrt for the XLA path's value contract); ``'cosine'`` reports
+    ``1 - cos_sim`` directly, matching :func:`pairwise_cosine`.
 
     Matches :func:`art_sbir_tpu.ops.distance.retrieve` semantics including
     the torch PairwiseDistance ``eps=1e-6`` folding (values are *squared*
@@ -329,7 +352,7 @@ def retrieve_fused(
     """
     ranks, vals, idx, exact = retrieve_fused_core(
         queries, gallery, pos_idx, k=k, tile_q=tile_q, tile_n=tile_n,
-        interpret=interpret, precision=precision)
+        interpret=interpret, precision=precision, metric=metric)
     exact_h = np.asarray(exact)
     if exact_h.all():
         return ranks, vals, idx
@@ -337,10 +360,12 @@ def retrieve_fused(
     rb, vb, ib = retrieve_chunked(
         jnp.take(queries, bad, axis=0), gallery,
         jnp.take(pos_idx, bad, axis=0), k=k, precision=precision,
-        chunk=min(256, max(1, len(bad))))
+        metric=metric, chunk=min(256, max(1, len(bad))))
+    if metric == "euclidean":
+        # XLA fallback returns sqrt'd eps-folded distances; square for the
+        # kernel's squared-value contract
+        vb = jnp.square(vb)
     ranks = jnp.asarray(np.asarray(ranks)).at[bad].set(rb)
-    # XLA fallback returns sqrt'd eps-folded distances; square for the
-    # kernel's squared-value contract
-    vals = jnp.asarray(np.asarray(vals)).at[bad].set(jnp.square(vb))
+    vals = jnp.asarray(np.asarray(vals)).at[bad].set(vb)
     idx = jnp.asarray(np.asarray(idx)).at[bad].set(ib)
     return ranks, vals, idx

@@ -101,7 +101,7 @@ def evaluate_retrieval(
 
     gal = jnp.asarray(gallery_features, jnp.float32)
     k_eff = min(k, n_gallery)  # tiny-gallery clamp; metrics still report k
-    use_fused = (loss_type == "euclidean"
+    use_fused = (loss_type in ("euclidean", "cosine")
                  and n_gallery >= FUSED_GALLERY_THRESHOLD
                  and k_eff <= 128)
     ranks = np.zeros(len(sketch_paths), np.int64)
@@ -115,8 +115,10 @@ def evaluate_retrieval(
         if use_fused:
             from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
 
-            r, v2, i = retrieve_fused(q, gal, p, k=k_eff)
-            v = jnp.sqrt(v2)  # kernel reports squared eps-folded distances
+            r, v2, i = retrieve_fused(q, gal, p, k=k_eff, metric=loss_type)
+            # kernel reports squared eps-folded distances (euclidean) or
+            # cosine distances directly
+            v = jnp.sqrt(v2) if loss_type == "euclidean" else v2
         else:
             r, v, i = retrieve(q, gal, p, k=k_eff, metric=loss_type)
         ranks[s:e] = np.asarray(r)

@@ -79,3 +79,35 @@ def test_fused_self_retrieval(rng):
     assert list(np.asarray(r)) == [0, 0, 0]
     assert list(np.asarray(i)[:, 0]) == [5, 100, 200]
     np.testing.assert_allclose(np.asarray(v)[:, 0], 0.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,q", [(300, 16), (517, 24)])
+def test_fused_cosine_matches_xla(rng, n, q):
+    """metric='cosine' reproduces the XLA path's 1 - cos_sim retrieval
+    (torch CosineSimilarity clamp semantics, ops/distance.py:88-98):
+    identical ranks and indices, values to MXU-form tolerance."""
+    d = 64
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    pos = rng.integers(0, n, size=q).astype(np.int32)
+
+    r0, v0, i0 = retrieve(jnp.array(queries), jnp.array(gal), jnp.array(pos),
+                          k=10, metric="cosine")
+    r1, v1, i1 = retrieve_fused(jnp.array(queries), jnp.array(gal),
+                                jnp.array(pos), k=10, tile_q=8, tile_n=128,
+                                interpret=True, metric="cosine")
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_cosine_self_retrieval(rng):
+    gal = rng.standard_normal((256, 32)).astype(np.float32)
+    q = gal[[5, 100, 200]]
+    p = np.array([5, 100, 200], np.int32)
+    r, v, i = retrieve_fused(jnp.array(q), jnp.array(gal), jnp.array(p),
+                             k=5, tile_q=8, tile_n=128, interpret=True,
+                             metric="cosine")
+    np.testing.assert_array_equal(np.asarray(r), 0)
+    np.testing.assert_array_equal(np.asarray(i)[:, 0], p)
