@@ -207,24 +207,21 @@ def retrieve_fused_core(
     :func:`retrieve_fused` does this). Benchmarks time this core — the
     certificate makes the fast path's exactness checkable without paying
     for it."""
-    if k > 128:
-        raise ValueError(f"k must be <= 128 (per-lane extraction), got {k}")
-    nq, d = queries.shape
-    n = gallery.shape[0]
-    # default tiles sized to the 16 MB VMEM budget (gallery tile double
-    # buffer + cross + d2full dominate the kernel stack)
-    if tile_n is None:
-        tile_n = 1024
-    if tile_q is None:
-        tile_q = 256 if precision == "highest" else 512
-    tile_n = min(tile_n, max(128, -(-n // 128) * 128))
-    tile_q = min(tile_q, max(8, -(-nq // 8) * 8))
-    if tile_n % 128:
-        raise ValueError(f"tile_n must be a multiple of 128, got {tile_n}")
-    eps = PAIRWISE_EPS
+    qq, gg_full, d2pos = _prep_norms(queries, gallery, pos_idx, metric)
+    pos2d = pos_idx.astype(jnp.int32)[:, None]
+    return _sweep(queries, gallery, qq, gg_full, d2pos, pos2d, k=k,
+                  tile_q=tile_q, tile_n=tile_n, interpret=interpret,
+                  precision=precision, metric=metric)
 
+
+def _prep_norms(queries, gallery, pos_idx, metric):
+    """(qq, gg_row, d2pos) with the exact op order of the XLA path; the
+    positive gather works on globally-sharded galleries too (GSPMD)."""
     if metric not in ("euclidean", "cosine"):
         raise ValueError(f"unknown metric {metric!r} (euclidean|cosine)")
+    d = queries.shape[1]
+    n = gallery.shape[0]
+    eps = PAIRWISE_EPS
     q32 = queries.astype(jnp.float32)
     g32 = gallery.astype(jnp.float32)
     pos_c = jnp.clip(pos_idx, 0, n - 1)
@@ -245,7 +242,29 @@ def retrieve_fused_core(
         gg_full = jnp.linalg.norm(g32, axis=1)[None, :]
         d2pos = 1.0 - cross_pos / jnp.maximum(
             qq * jnp.take(gg_full[0], pos_c)[:, None], COSINE_EPS)
-    pos2d = pos_idx.astype(jnp.int32)[:, None]
+    return qq, gg_full, d2pos
+
+
+def _sweep(queries, gallery, qq, gg_full, d2pos, pos2d, *, k, tile_q,
+           tile_n, interpret, precision, metric):
+    """One fused sweep over ``gallery`` with fully-prepared inputs.
+    ``pos2d`` indices are in GALLERY-LOCAL coordinates (the sharded path
+    passes clipped local positions); returned indices are local with
+    sentinel = len(gallery)."""
+    if k > 128:
+        raise ValueError(f"k must be <= 128 (per-lane extraction), got {k}")
+    nq, d = queries.shape
+    n = gallery.shape[0]
+    # default tiles sized to the 16 MB VMEM budget (gallery tile double
+    # buffer + cross + d2full dominate the kernel stack)
+    if tile_n is None:
+        tile_n = 1024
+    if tile_q is None:
+        tile_q = 256 if precision == "highest" else 512
+    tile_n = min(tile_n, max(128, -(-n // 128) * 128))
+    tile_q = min(tile_q, max(8, -(-nq // 8) * 8))
+    if tile_n % 128:
+        raise ValueError(f"tile_n must be a multiple of 128, got {tile_n}")
 
     if precision == "default":
         # bf16 gallery stream: half the HBM traffic, fast MXU passes.
@@ -254,7 +273,8 @@ def retrieve_fused_core(
         g_in = gallery.astype(jnp.bfloat16)
         prec = jax.lax.Precision.DEFAULT
     else:
-        q_in, g_in = q32, g32
+        q_in = queries.astype(jnp.float32)
+        g_in = gallery.astype(jnp.float32)
         prec = jax.lax.Precision.HIGHEST
 
     n_steps = -(-n // tile_n)
@@ -364,6 +384,136 @@ def retrieve_fused(
     if metric == "euclidean":
         # XLA fallback returns sqrt'd eps-folded distances; square for the
         # kernel's squared-value contract
+        vb = jnp.square(vb)
+    ranks = jnp.asarray(np.asarray(ranks)).at[bad].set(rb)
+    vals = jnp.asarray(np.asarray(vals)).at[bad].set(vb)
+    idx = jnp.asarray(np.asarray(idx)).at[bad].set(ib)
+    return ranks, vals, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "k", "tile_q", "tile_n",
+                              "interpret", "precision", "metric"))
+def retrieve_fused_sharded_core(
+    queries: jax.Array,
+    gallery: jax.Array,
+    pos_idx: jax.Array,
+    mesh: jax.sharding.Mesh,
+    axis_name: str | None = None,
+    k: int = 10,
+    tile_q: int | None = None,
+    tile_n: int | None = None,
+    interpret: bool = False,
+    precision: str = "highest",
+    metric: str = "euclidean",
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Multi-chip fused retrieval: gallery row-sharded over ``axis_name``.
+
+    Every chip streams its gallery shard through the fused kernel
+    (queries/positive distances replicated), then the per-shard (Q, k)
+    candidates merge by (value, global index) and the per-shard rank
+    partials sum — the cross-chip traffic is O(Q*k) candidates + Q ints
+    riding ICI, never distance blocks. Tie-breaking is globally
+    deterministic: shard-local index order equals global order within a
+    shard (offsets are monotone), and the merge lexsorts on (value,
+    global index).
+
+    The positive's rank decomposes exactly across shards: each shard
+    counts strictly-closer rows plus value-ties at a smaller GLOBAL index,
+    implemented by clipping the positive's local position to ``-1`` (all
+    shard columns are globally after the positive) or ``n_local`` (all
+    before). Returns (ranks, vals, idx, exact) like
+    :func:`retrieve_fused_core`; ``exact`` is the AND of per-shard
+    certificates.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:  # jax >= 0.5 moved shard_map to the public namespace
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = _sm
+
+    ax = axis_name or mesh.axis_names[0]
+    n_dev = int(mesh.shape[ax])
+    nq = queries.shape[0]
+    n = gallery.shape[0]
+    if n % n_dev:
+        raise ValueError(
+            f"gallery rows ({n}) must divide the '{ax}' mesh axis ({n_dev});"
+            " pad the gallery (see parallel.mesh.pad_to_multiple)")
+    n_local = n // n_dev
+
+    # replicated query-side inputs with the exact global op order; the
+    # positive gather spans shards (GSPMD inserts the collective)
+    qq, _, d2pos = _prep_norms(queries, gallery, pos_idx, metric)
+    pos_i32 = pos_idx.astype(jnp.int32)
+
+    def worker(q, qq_r, d2pos_r, pos, g_shard):
+        off = jax.lax.axis_index(ax) * n_local
+        # local position: -1 = positive globally before this shard (no
+        # ties count), n_local = globally after (all ties count)
+        pos_local = jnp.clip(pos - off, -1, n_local)[:, None]
+        g32 = g_shard.astype(jnp.float32)
+        if metric == "euclidean":
+            eps = PAIRWISE_EPS
+            gg = (jnp.sum(g32 * g32, axis=1)
+                  - 2.0 * eps * jnp.sum(g32, axis=1))[None, :]
+        else:
+            gg = jnp.linalg.norm(g32, axis=1)[None, :]
+        ranks, vals, idx, exact = _sweep(
+            q, g_shard, qq_r, gg, d2pos_r, pos_local, k=k, tile_q=tile_q,
+            tile_n=tile_n, interpret=interpret, precision=precision,
+            metric=metric)
+        idx = jnp.where(idx >= n_local, n, idx + off)  # global indices
+        return ranks[None], vals[None], idx[None], exact[None]
+
+    pr, pv, pi, pe = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(ax, None)),
+        out_specs=(P(ax), P(ax), P(ax), P(ax)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
+    )(queries, qq, d2pos, pos_i32, gallery)
+
+    ranks = jnp.sum(pr, axis=0)
+    vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
+    idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
+    order = jnp.lexsort((idx_all, vals_all), axis=-1)[:, :k]
+    vals = jnp.take_along_axis(vals_all, order, axis=-1)
+    idx = jnp.take_along_axis(idx_all, order, axis=-1)
+    exact = jnp.min(pe, axis=0)
+    return ranks, vals, idx, exact
+
+
+def retrieve_fused_sharded(
+    queries: jax.Array,
+    gallery: jax.Array,
+    pos_idx: jax.Array,
+    mesh: jax.sharding.Mesh,
+    axis_name: str | None = None,
+    k: int = 10,
+    tile_q: int | None = None,
+    tile_n: int | None = None,
+    interpret: bool = False,
+    precision: str = "highest",
+    metric: str = "euclidean",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Public multi-chip fused retrieval with the certificate fallback
+    (see :func:`retrieve_fused`); value contract matches it per metric."""
+    ranks, vals, idx, exact = retrieve_fused_sharded_core(
+        queries, gallery, pos_idx, mesh, axis_name=axis_name, k=k,
+        tile_q=tile_q, tile_n=tile_n, interpret=interpret,
+        precision=precision, metric=metric)
+    exact_h = np.asarray(exact)
+    if exact_h.all():
+        return ranks, vals, idx
+    bad = np.nonzero(exact_h == 0)[0]
+    rb, vb, ib = retrieve_chunked(
+        jnp.take(queries, bad, axis=0), gallery,
+        jnp.take(pos_idx, bad, axis=0), k=k, precision=precision,
+        metric=metric, chunk=min(256, max(1, len(bad))))
+    if metric == "euclidean":
         vb = jnp.square(vb)
     ranks = jnp.asarray(np.asarray(ranks)).at[bad].set(rb)
     vals = jnp.asarray(np.asarray(vals)).at[bad].set(vb)

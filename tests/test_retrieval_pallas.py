@@ -111,3 +111,65 @@ def test_fused_cosine_self_retrieval(rng):
                              metric="cosine")
     np.testing.assert_array_equal(np.asarray(r), 0)
     np.testing.assert_array_equal(np.asarray(i)[:, 0], p)
+
+
+def _mesh8():
+    import jax
+    from art_sbir_tpu.parallel.mesh import MeshSpec
+
+    return MeshSpec(data=len(jax.devices())).build()
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_fused_sharded_matches_global(rng, metric):
+    """Gallery row-sharded over the 8-device mesh: per-shard fused sweeps
+    + O(Q*k) candidate merge must equal the single-device XLA retrieval
+    exactly (ranks, indices; values per metric contract)."""
+    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_sharded
+
+    n, q, d = 1024, 24, 32  # 128 rows/shard on the 8-device mesh
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    pos = rng.integers(0, n, size=q).astype(np.int32)
+
+    r0, v0, i0 = retrieve(jnp.array(queries), jnp.array(gal),
+                          jnp.array(pos), k=10, metric=metric)
+    r1, v1, i1 = retrieve_fused_sharded(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), _mesh8(),
+        k=10, tile_q=8, tile_n=128, interpret=True, metric=metric)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    want = np.asarray(v0) ** 2 if metric == "euclidean" else np.asarray(v0)
+    np.testing.assert_allclose(want, np.asarray(v1), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_sharded_cross_shard_ties(rng):
+    """Duplicated rows placed in DIFFERENT shards tie exactly; the merge
+    must keep the smallest global index first and ranks must count ties
+    across shard boundaries like the stable global order."""
+    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_sharded
+
+    d = 16
+    base = rng.standard_normal((128, d)).astype(np.float32)
+    gal = np.concatenate([base] * 8)  # every shard is a duplicate block
+    queries = base[[3, 50, 99]] + 0.01 * rng.standard_normal(
+        (3, d)).astype(np.float32)
+    pos = np.array([3, 128 + 50, 7 * 128 + 99], np.int32)  # across shards
+
+    r0, v0, i0 = retrieve(jnp.array(queries), jnp.array(gal),
+                          jnp.array(pos), k=10)
+    r1, v1, i1 = retrieve_fused_sharded(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), _mesh8(),
+        k=10, tile_q=8, tile_n=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_fused_sharded_rejects_ragged_gallery(rng):
+    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_sharded
+
+    gal = rng.standard_normal((1003, 16)).astype(np.float32)  # 1003 % 8 != 0
+    with pytest.raises(ValueError, match="must divide"):
+        retrieve_fused_sharded(
+            jnp.zeros((4, 16)), jnp.array(gal),
+            jnp.zeros((4,), jnp.int32), _mesh8(), interpret=True)
