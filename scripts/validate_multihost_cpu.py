@@ -109,7 +109,7 @@ def launch(n_processes: int = 2, devices_per: int = 4) -> None:
             ok = False
             print(f"--- worker {pid} FAILED (rc={p.returncode}) ---\n{out}")
         else:
-            print(out.strip().splitlines()[-1])
+            print(next(l for l in out.splitlines() if "MULTIHOST_OK" in l))
     if not ok:
         raise SystemExit(1)
     print(f"multihost validation passed: {n_processes} processes x "
