@@ -104,3 +104,15 @@ def test_triplet_loader_native_matches_pil(tmp_path):
     assert set(b_native) == set(b_pil)
     for k in b_native:
         np.testing.assert_array_equal(b_native[k], b_pil[k], err_msg=k)
+
+
+def test_decode_paths_auto_falls_back_when_native_unavailable(
+        corpus, monkeypatch):
+    """backend='auto' must silently use PIL when the library can't load;
+    backend='native' must raise instead."""
+    monkeypatch.setattr(native_loader, "available", lambda: False)
+    a = decode_paths(corpus[:3], 64, "square", backend="auto")
+    b = decode_paths(corpus[:3], 64, "square", backend="pil")
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(native_loader.NativeUnavailable):
+        decode_paths(corpus[:3], 64, "square", backend="native")
