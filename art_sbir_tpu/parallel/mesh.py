@@ -13,6 +13,17 @@ The workload has exactly two distributed axes of interest (SURVEY.md §2.9):
   across the same axis. Each chip ranks its shard and the (Q, k) partial
   top-k results are merged; XLA inserts the all-gather of the tiny partials.
 
+BatchNorm under data parallelism (SURVEY.md §7 "hard parts"): the choice
+here is GLOBAL-batch statistics ("sync BN"). Because the batch is sharded
+with ``NamedSharding`` and the train step runs under plain ``jax.jit``,
+GSPMD computes BN's mean/var over the FULL logical batch (inserting the
+cross-replica all-reduce itself) — so an N-device run is numerically the
+same program as a single-device run on the same global batch, which
+``tests/test_sharding.py::test_train_cli_dp_matches_single_device``
+asserts to near-bitwise tolerance. This differs from torch's default
+per-device BN but matches the reference's *semantics* (it only ever ran
+single-device, where per-device == global).
+
 Everything here also runs on a single device (mesh of size 1) so the
 single-chip v5e benchmark path and the multi-chip path share all code.
 """
