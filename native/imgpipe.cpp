@@ -261,9 +261,14 @@ int decode_png(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
     }
     int color = png_get_color_type(png, info);
     int depth = png_get_bit_depth(png, info);
+    if (depth == 16) {
+        // PIL's I;16 -> RGB conversion is NOT a high-byte strip (measured
+        // maxdiff 212 vs png_set_strip_16); leave 16-bit to the PIL path
+        png_destroy_read_struct(&png, &info, nullptr);
+        return 2;
+    }
     // normalize to 8-bit RGB or RGBA (alpha dropped below, like
     // Image.convert("RGB") which copies RGB bytes and ignores alpha)
-    if (depth == 16) png_set_strip_16(png);
     if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
     if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
         png_set_expand_gray_1_2_4_to_8(png);

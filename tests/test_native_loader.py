@@ -116,3 +116,25 @@ def test_decode_paths_auto_falls_back_when_native_unavailable(
     np.testing.assert_array_equal(a, b)
     with pytest.raises(native_loader.NativeUnavailable):
         decode_paths(corpus[:3], 64, "square", backend="native")
+
+
+def test_edge_formats(tmp_path, rng):
+    """Progressive JPEG and interlaced PNG decode bit-equal; 16-bit PNG is
+    reported unsupported (PIL's I;16 conversion is not a byte strip) and
+    decode_paths transparently falls back to PIL for it."""
+    arr = rng.integers(0, 256, (120, 160, 3), np.uint8)
+    prog = tmp_path / "prog.jpg"
+    Image.fromarray(arr).save(prog, progressive=True, quality=85)
+    inter = tmp_path / "inter.png"
+    Image.fromarray(arr).save(inter, interlace=True)
+    g16 = tmp_path / "g16.png"
+    a16 = rng.integers(0, 65536, (120, 160)).astype(np.uint16)
+    Image.fromarray(a16).save(g16)
+
+    batch, failed = native_loader.decode_batch([prog, inter, g16], 64, "square")
+    assert failed == [2]
+    np.testing.assert_array_equal(batch[0], decode_image(prog, 64, "square"))
+    np.testing.assert_array_equal(batch[1], decode_image(inter, 64, "square"))
+
+    full = decode_paths([prog, inter, g16], 64, "square", backend="native")
+    np.testing.assert_array_equal(full[2], decode_image(g16, 64, "square"))
