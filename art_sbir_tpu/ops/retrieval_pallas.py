@@ -187,8 +187,15 @@ def _kernel(q_ref, qq_ref, d2pos_ref, pos_ref, g_ref, gg_ref,
         exact_ref[:] = (emin > kth).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "k", "tile_q", "tile_n", "interpret", "precision", "metric"))
+def _resolve_interpret(interpret: bool | None) -> bool:
+    """None -> interpret on backends without a Mosaic compiler (CPU), so
+    the same call sites run compiled on TPU and interpreted in the
+    CPU-mesh test environment."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() == "cpu"
+
+
 def retrieve_fused_core(
     queries: jax.Array,
     gallery: jax.Array,
@@ -196,7 +203,7 @@ def retrieve_fused_core(
     k: int = 10,
     tile_q: int | None = None,
     tile_n: int | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str = "highest",
     metric: str = "euclidean",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -207,6 +214,24 @@ def retrieve_fused_core(
     :func:`retrieve_fused` does this). Benchmarks time this core — the
     certificate makes the fast path's exactness checkable without paying
     for it."""
+    return _core_jit(queries, gallery, pos_idx, k=k, tile_q=tile_q,
+                     tile_n=tile_n, interpret=_resolve_interpret(interpret),
+                     precision=precision, metric=metric)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "tile_q", "tile_n", "interpret", "precision", "metric"))
+def _core_jit(
+    queries: jax.Array,
+    gallery: jax.Array,
+    pos_idx: jax.Array,
+    k: int,
+    tile_q: int | None,
+    tile_n: int | None,
+    interpret: bool,
+    precision: str,
+    metric: str,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     qq, gg_full, d2pos = _prep_norms(queries, gallery, pos_idx, metric)
     pos2d = pos_idx.astype(jnp.int32)[:, None]
     return _sweep(queries, gallery, qq, gg_full, d2pos, pos2d, k=k,
@@ -339,7 +364,7 @@ def retrieve_fused(
     k: int = 10,
     tile_q: int | None = None,
     tile_n: int | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str = "highest",
     metric: str = "euclidean",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -391,9 +416,6 @@ def retrieve_fused(
     return ranks, vals, idx
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mesh", "axis_name", "k", "tile_q", "tile_n",
-                              "interpret", "precision", "metric"))
 def retrieve_fused_sharded_core(
     queries: jax.Array,
     gallery: jax.Array,
@@ -403,9 +425,34 @@ def retrieve_fused_sharded_core(
     k: int = 10,
     tile_q: int | None = None,
     tile_n: int | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str = "highest",
     metric: str = "euclidean",
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Resolve the interpret default, then dispatch to the jitted sweep
+    (see :func:`_sharded_core_jit` for the algorithm)."""
+    return _sharded_core_jit(
+        queries, gallery, pos_idx, mesh=mesh, axis_name=axis_name, k=k,
+        tile_q=tile_q, tile_n=tile_n,
+        interpret=_resolve_interpret(interpret), precision=precision,
+        metric=metric)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "k", "tile_q", "tile_n",
+                              "interpret", "precision", "metric"))
+def _sharded_core_jit(
+    queries: jax.Array,
+    gallery: jax.Array,
+    pos_idx: jax.Array,
+    mesh: jax.sharding.Mesh,
+    axis_name: str | None,
+    k: int,
+    tile_q: int | None,
+    tile_n: int | None,
+    interpret: bool,
+    precision: str,
+    metric: str,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Multi-chip fused retrieval: gallery row-sharded over ``axis_name``.
 
@@ -495,7 +542,7 @@ def retrieve_fused_sharded(
     k: int = 10,
     tile_q: int | None = None,
     tile_n: int | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str = "highest",
     metric: str = "euclidean",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -71,6 +71,7 @@ def run_inference(
         return evaluate_retrieval(
             queries, np.asarray(gallery, np.float32), catalog.sketch_paths,
             image_paths, loss_type=loss_type, start_time=timer.elapsed(),
+            mesh=mesh,
         )
 
     stats = _eval(dataset)

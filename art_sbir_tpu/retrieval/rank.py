@@ -86,14 +86,17 @@ def evaluate_retrieval(
     query_chunk: int = 1024,
     sample_seed: int = 11,
     n_samples: int = 10,
+    mesh=None,
 ) -> Dict:
     """Full retrieval eval -> the reference's inference dict schema.
 
-    Galleries past ``FUSED_GALLERY_THRESHOLD`` rows (euclidean metric)
-    route through the fused Pallas kernel — O(Q) state instead of a
-    per-chunk (chunk, N) distance matrix, measured 6.2x the chunked XLA
-    path at N=1M (PERF.md) — with the kernel's exactness certificate
-    falling back to the XLA path per row when it cannot prove parity."""
+    Galleries past ``FUSED_GALLERY_THRESHOLD`` rows route through the
+    fused Pallas kernel — O(Q) state instead of a per-chunk (chunk, N)
+    distance matrix, measured 6.2x the chunked XLA path at N=1M (PERF.md)
+    — with the kernel's exactness certificate falling back to the XLA
+    path per row when it cannot prove parity. With a ``mesh`` whose
+    device count divides the gallery, the fused sweep additionally shards
+    the gallery across chips (per-shard kernels, O(Q*k) merge)."""
     timer = Timer()
     n_gallery = len(image_paths)
     pos = positive_indices(sketch_paths, image_paths)
@@ -113,9 +116,16 @@ def evaluate_retrieval(
         q = jnp.asarray(query_features[s:e], jnp.float32)
         p = jnp.asarray(np.where(missing[s:e], 0, pos[s:e]))
         if use_fused:
-            from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
+            from art_sbir_tpu.ops.retrieval_pallas import (
+                retrieve_fused, retrieve_fused_sharded)
 
-            r, v2, i = retrieve_fused(q, gal, p, k=k_eff, metric=loss_type)
+            if mesh is not None and mesh.devices.size > 1 \
+                    and n_gallery % mesh.devices.size == 0:
+                r, v2, i = retrieve_fused_sharded(
+                    q, gal, p, mesh, k=k_eff, metric=loss_type)
+            else:
+                r, v2, i = retrieve_fused(q, gal, p, k=k_eff,
+                                          metric=loss_type)
             # kernel reports squared eps-folded distances (euclidean) or
             # cosine distances directly
             v = jnp.sqrt(v2) if loss_type == "euclidean" else v2

@@ -172,3 +172,25 @@ def test_evaluate_retrieval_fused_routing_matches_xla(rng, monkeypatch):
         assert [p for p, _ in gv] == [p for p, _ in rv]
         np.testing.assert_allclose([x for _, x in gv], [x for _, x in rv],
                                    rtol=2e-4)
+
+
+def test_evaluate_retrieval_sharded_fused_matches_xla(rng, monkeypatch):
+    """With a mesh whose device count divides the gallery, the fused
+    routing shards the gallery across devices; metrics must still match
+    the plain XLA evaluation exactly."""
+    from art_sbir_tpu.parallel.mesh import MeshSpec
+
+    d = 32
+    gal = rng.standard_normal((512, d)).astype(np.float32)
+    image_paths = [f"g/img{i}.jpg" for i in range(512)]
+    sketch_paths = [f"s/img{i}-1.png" for i in range(40)]
+    queries = gal[:40] + 0.05 * rng.standard_normal((40, d)).astype(np.float32)
+
+    ref = R.evaluate_retrieval(queries, gal, sketch_paths, image_paths, k=10)
+    monkeypatch.setattr(R, "FUSED_GALLERY_THRESHOLD", 100)
+    mesh = MeshSpec(data=len(jax.devices())).build()
+    got = R.evaluate_retrieval(queries, gal, sketch_paths, image_paths,
+                               k=10, mesh=mesh)
+    assert got["mean_reciprocal_rank"] == ref["mean_reciprocal_rank"]
+    assert got["topk_acc"] == ref["topk_acc"]
+    assert got["mean"] == ref["mean"]
