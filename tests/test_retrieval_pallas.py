@@ -173,3 +173,37 @@ def test_fused_sharded_rejects_ragged_gallery(rng):
         retrieve_fused_sharded(
             jnp.zeros((4, 16)), jnp.array(gal),
             jnp.zeros((4,), jnp.int32), _mesh8(), interpret=True)
+
+
+def test_certificate_detects_lane_overflow(rng):
+    """Adversarial layout: a query's 8 nearest rows all share one VPU lane
+    (indices congruent mod 128), overflowing the per-lane top-4 file. The
+    in-kernel certificate must flag those rows and the public wrapper's
+    XLA fallback must return the exact global result anyway."""
+    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_core
+
+    d = 32
+    n = 1024
+    gal = rng.standard_normal((n, d)).astype(np.float32) * 10.0
+    target = rng.standard_normal(d).astype(np.float32)
+    # plant 8 near-duplicates of the target in lane 5 (indices 5, 133, ...)
+    lane_idx = [5 + 128 * j for j in range(8)]
+    for rank_i, gi in enumerate(lane_idx):
+        gal[gi] = target + 1e-3 * (rank_i + 1)
+    queries = np.stack([target, rng.standard_normal(d).astype(np.float32)])
+    pos = np.array([lane_idx[0], 0], np.int32)
+
+    r, v, i, exact = retrieve_fused_core(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=8,
+        tile_q=8, tile_n=1024, interpret=True)
+    assert int(np.asarray(exact)[0]) == 0, "lane overflow must be flagged"
+
+    r1, v1, i1 = retrieve_fused(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=8,
+        tile_q=8, tile_n=1024, interpret=True)
+    r0, v0, i0 = retrieve(jnp.array(queries), jnp.array(gal),
+                          jnp.array(pos), k=8)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    # the planted near-duplicates are the true top-8 of query 0
+    assert list(np.asarray(i1)[0]) == lane_idx
