@@ -131,14 +131,8 @@ def pin_ci_environment() -> None:
 
 
 def main(argv=None) -> None:
-    import sys
-
-    if "ci" in (argv or sys.argv):
-        pin_ci_environment()
-
-    from art_sbir_tpu.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
+    # parse BEFORE any jax import: the ci preset must pin its backend
+    # settings first (pin_ci_environment)
     p = argparse.ArgumentParser(description="record pipeline goldens")
     p.add_argument("--preset", choices=sorted(PRESETS), default="scale")
     p.add_argument("--root", type=str, default="data/goldens")
@@ -147,6 +141,12 @@ def main(argv=None) -> None:
     p.add_argument("--out", type=str, default=None,
                    help="output JSON (default goldens/<preset>_<backend>.json)")
     args = p.parse_args(argv)
+    if args.preset == "ci":
+        pin_ci_environment()
+
+    from art_sbir_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     golden = run(args.preset, Path(args.root), Path(args.results_root),
                  args.seed)
