@@ -83,11 +83,11 @@ def main(argv=None) -> None:
         out_dir = root / f"{args.name}_drawings"
 
     out_dir.mkdir(parents=True, exist_ok=True)
-    from art_sbir_tpu.data.loader import decode_image
+    from art_sbir_tpu.data.loader import decode_paths
 
     for s in range(0, len(paths), args.batch_size):
         chunk = paths[s : s + args.batch_size]
-        x = np.stack([decode_image(p, args.image_size) for p in chunk])
+        x = decode_paths(chunk, args.image_size)  # native batch decode
         out = np.asarray(fwd(jnp.asarray(x, jnp.float32) / 255.0))
         for img, path in zip(out, chunk):
             dest = out_dir

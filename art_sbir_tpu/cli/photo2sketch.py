@@ -25,7 +25,7 @@ def main(argv=None) -> None:
     from art_sbir_tpu.core.metrics import LossTracker, Timer
     from art_sbir_tpu.core.results import ResultsWriter
     from art_sbir_tpu.data import get_datasets
-    from art_sbir_tpu.data.loader import decode_image
+    from art_sbir_tpu.data.loader import decode_paths
     from art_sbir_tpu.ops.rasterize import rasterize_strokes
     from art_sbir_tpu.ops.resize import IMAGENET_MEAN, IMAGENET_STD, normalize
     from art_sbir_tpu.ops.svg import build_svg
@@ -100,10 +100,9 @@ def main(argv=None) -> None:
             items = [catalog.item(i) for i in idx]
             vec = jnp.asarray(np.stack([it["sketch_vector"] for it in items]))
             if "photo_path" in items[0]:
-                photos = np.stack([
-                    decode_image(it["photo_path"], args.image_size)
-                    for it in items
-                ]).astype(np.float32) / 255.0
+                photos = decode_paths(
+                    [it["photo_path"] for it in items], args.image_size
+                ).astype(np.float32) / 255.0
                 photo = normalize(jnp.asarray(photos), IMAGENET_MEAN, IMAGENET_STD)
             elif "raster_points" in items[0]:
                 # exact integer points cached by the catalog (float64 host

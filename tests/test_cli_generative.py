@@ -1,0 +1,65 @@
+"""End-to-end CLI runs for the generative surfaces (CPU, synthetic data):
+the Photo2Sketch VAE trainer (reference `semiSupervised_main.py`) including
+the exact-raster cached-points batch path, and the drawings batch-inference
+CLI (reference `drawings_main.py`/`create_drawings.py`) for both corpora.
+"""
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+
+from art_sbir_tpu.data.synthetic import make_synthetic_kaggle, make_synthetic_sketchy
+
+
+def _p2s_args(extra):
+    return [
+        "--setup", "Sketchy", "--batchsize", "4", "--max_epoch", "1",
+        "--save_rate", "1", "--size", "1.0", "--dec_rnn_size", "32",
+        "--z_size", "8", "--num_mixture", "3",
+    ] + extra
+
+
+def test_photo2sketch_cli_svg_exact_raster_path(tmp_path, monkeypatch):
+    """img_format=svg serves cached exact integer raster points
+    (data/vector_sketchy.py) -> the CLI's rasterize_prepared branch."""
+    monkeypatch.chdir(tmp_path)
+    root = make_synthetic_sketchy(tmp_path / "sketchy", with_svg=True)
+    from art_sbir_tpu.cli import photo2sketch
+
+    photo2sketch.main(_p2s_args(
+        ["--img_format", "svg", "--data_root", str(root)]))
+
+    runs = list((tmp_path / "results").iterdir())
+    assert len(runs) == 1
+    training = json.loads((runs[0] / "training.json").read_text())
+    for k in ("total_loss", "kl_loss", "reconstruction_loss"):
+        assert math.isfinite(training["train_losses"][k][-1])
+        assert math.isfinite(training["test_losses"][k][-1])
+    assert list(runs[0].glob("sample_1_*.svg"))
+    assert list(runs[0].glob("sample_1_*.json"))
+    assert (runs[0] / "samples_1.png").is_file()
+    assert list((tmp_path / "models").iterdir())  # orbax checkpoint saved
+
+
+def test_drawings_cli_both_corpora(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    kroot = make_synthetic_kaggle(tmp_path / "kaggle")
+    sroot = make_synthetic_sketchy(tmp_path / "sketchy")
+    from art_sbir_tpu.cli import drawings
+
+    drawings.main(["--corpus", "kaggle", "--data_root", str(kroot),
+                   "--image_size", "64", "-b", "4"])
+    out = list((kroot / "contour_drawings").glob("*.png"))
+    assert out, "no kaggle drawings written"
+    from PIL import Image
+
+    img = Image.open(out[0])
+    assert img.size == (64, 64) and img.mode == "L"
+
+    drawings.main(["--corpus", "sketchy", "--data_root", str(sroot),
+                   "--image_size", "64", "-b", "4", "--name", "opensketch"])
+    shard_dirs = [d for d in (sroot / "opensketch_drawings").iterdir()
+                  if d.is_dir()]
+    assert shard_dirs and all(list(d.glob("*.png")) for d in shard_dirs)
