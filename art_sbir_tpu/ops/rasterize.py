@@ -106,17 +106,31 @@ def _segments_mask(
     ysign = jnp.where(dy > 0, 1, -1)
     x_driving = adx > ady
 
+    # The Bresenham minor coordinate at driving step j is
+    # m = (2*a_minor*j + a_major) // den with den = max(2*a_major, 1); a
+    # pixel is on the line iff its own minor offset equals that floor
+    # division. Integer division has no native VPU lowering, so test the
+    # equivalent pure-multiply band instead:
+    #   m == num // den  <=>  den*m <= num < den*m + den
+    # (exact for j >= 0, den > 0 — out-of-range j is masked separately).
+
     # x-driving: j along x, minor = y
     jx = (gx - x0) * xsign
+    mx = (gy - y0) * ysign
+    num_x = 2 * ady * jx + adx
     den_x = jnp.maximum(2 * adx, 1)
-    mx = (2 * ady * jnp.maximum(jx, 0) + adx) // den_x
-    on_x = (jx >= 0) & (jx <= adx) & (gy == y0 + ysign * mx)
+    band_x = den_x * mx
+    on_x = ((jx >= 0) & (jx <= adx)
+            & (band_x <= num_x) & (num_x < band_x + den_x))
 
     # y-driving: j along y, minor = x
     jy = (gy - y0) * ysign
+    my = (gx - x0) * xsign
+    num_y = 2 * adx * jy + ady
     den_y = jnp.maximum(2 * ady, 1)
-    my = (2 * adx * jnp.maximum(jy, 0) + ady) // den_y
-    on_y = (jy >= 0) & (jy <= ady) & (gx == x0 + xsign * my)
+    band_y = den_y * my
+    on_y = ((jy >= 0) & (jy <= ady)
+            & (band_y <= num_y) & (num_y < band_y + den_y))
 
     on = jnp.where(x_driving, on_x, on_y) & draw[:, None, None]
     return jnp.any(on, axis=0)
