@@ -63,3 +63,29 @@ def test_drawings_cli_both_corpora(tmp_path, monkeypatch):
     shard_dirs = [d for d in (sroot / "opensketch_drawings").iterdir()
                   if d.is_dir()]
     assert shard_dirs and all(list(d.glob("*.png")) for d in shard_dirs)
+
+
+def test_drawings_cli_bf16_close_to_f32(tmp_path, monkeypatch):
+    """--bf16 halves generator precision for throughput; drawings must
+    stay visually equivalent (uint8 outputs within a few quantization
+    steps of the f32 sweep)."""
+    monkeypatch.chdir(tmp_path)
+    kroot = make_synthetic_kaggle(tmp_path / "kaggle")
+    from PIL import Image
+
+    from art_sbir_tpu.cli import drawings
+
+    drawings.main(["--corpus", "kaggle", "--data_root", str(kroot),
+                   "--image_size", "64", "-b", "4", "--name", "contour"])
+    drawings.main(["--corpus", "kaggle", "--data_root", str(kroot),
+                   "--image_size", "64", "-b", "4", "--name", "anime",
+                   "--bf16"])
+    f32s = sorted((kroot / "contour_drawings").glob("*.png"))
+    b16s = sorted((kroot / "anime_drawings").glob("*.png"))
+    assert len(f32s) == len(b16s) > 0
+    diffs = []
+    for a, b in zip(f32s, b16s):
+        ia = np.asarray(Image.open(a), np.int32)
+        ib = np.asarray(Image.open(b), np.int32)
+        diffs.append(np.abs(ia - ib).mean())
+    assert max(diffs) < 6.0, diffs  # fresh-init nets; bf16 noise only
