@@ -89,3 +89,38 @@ def test_drawings_cli_bf16_close_to_f32(tmp_path, monkeypatch):
         ib = np.asarray(Image.open(b), np.int32)
         diffs.append(np.abs(ia - ib).mean())
     assert max(diffs) < 6.0, diffs  # fresh-init nets; bf16 noise only
+
+
+def test_photo2sketch_cli_quickdraw_setup(tmp_path, monkeypatch):
+    """--setup Quickdraw: stroke-3 npz archives, photos rasterized on
+    device per batch (rasterize_strokes path, reference
+    semiSupervised_main.py Quickdraw branch)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    d = tmp_path / "quick_draw"
+    d.mkdir()
+    seqs = np.empty(24, object)
+    for i in range(24):
+        n = int(rng.integers(12, 60))
+        s = np.zeros((n, 3), np.float32)
+        s[:, :2] = rng.standard_normal((n, 2)) * 20
+        s[:, 2] = rng.random(n) < 0.2
+        seqs[i] = s
+    from art_sbir_tpu.data.quickdraw import CATEGORIES
+
+    # minimal corpus: the VAE encoder runs 256^2 VGG convs (the raster
+    # canvas is fixed at 256), ~14 s/image fwd+bwd on this CPU — keep the
+    # e2e step count tiny
+    for j, cat in enumerate(CATEGORIES):
+        np.savez(d / f"{cat}.npz", train=seqs[2 * j:2 * j + 2],
+                 valid=seqs[12 + j:13 + j], test=seqs[18 + j:19 + j])
+
+    from art_sbir_tpu.cli import photo2sketch
+
+    photo2sketch.main(_p2s_args(
+        ["--setup", "Quickdraw", "--data_root", str(d)]))
+    runs = list((tmp_path / "results").iterdir())
+    assert len(runs) == 1
+    training = json.loads((runs[0] / "training.json").read_text())
+    assert math.isfinite(training["train_losses"]["total_loss"][-1])
+    assert (runs[0] / "samples_1.png").is_file()
