@@ -43,7 +43,7 @@ def main(argv=None) -> None:
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--dsize", type=float, default=1.0)
     p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 generator compute (~2x sweep throughput; "
+                   help="bfloat16 generator compute (measured 1.3x sweep throughput; "
                         "outputs differ from f32 at quantization level)")
     args = p.parse_args(argv)
 
