@@ -25,7 +25,10 @@ def test_photo2sketch_cli_svg_exact_raster_path(tmp_path, monkeypatch):
     """img_format=svg serves cached exact integer raster points
     (data/vector_sketchy.py) -> the CLI's rasterize_prepared branch."""
     monkeypatch.chdir(tmp_path)
-    root = make_synthetic_sketchy(tmp_path / "sketchy", with_svg=True)
+    # minimal corpus: the 256^2 VGG encoder costs ~14 s/image fwd+bwd on
+    # this one-core CPU (see the quickdraw test note)
+    root = make_synthetic_sketchy(tmp_path / "sketchy", n_classes=2,
+                                  photos_per_class=2, with_svg=True)
     from art_sbir_tpu.cli import photo2sketch
 
     photo2sketch.main(_p2s_args(
