@@ -100,6 +100,10 @@ def main(argv=None) -> None:
                         "(reference get_kaggle_test.py)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate miniature synthetic corpora for smoke runs")
+    p.add_argument("--learnable", action="store_true",
+                   help="with --synthetic: render sketches as line drawings "
+                        "of their paired photos (retrieval is learnable) "
+                        "instead of unrelated noise")
     p.add_argument("--root", type=str, default="data")
     args = p.parse_args(argv)
 
@@ -110,7 +114,8 @@ def main(argv=None) -> None:
             make_synthetic_sketchy,
         )
 
-        make_synthetic_sketchy(root / "sketchy", with_svg=True)
+        make_synthetic_sketchy(root / "sketchy", with_svg=True,
+                               learnable=args.learnable)
         make_synthetic_kaggle(root / "kaggle")
         print(f"synthetic corpora written under {root}", flush=True)
         return

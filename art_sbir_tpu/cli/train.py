@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_classes", type=int, default=125)
     p.add_argument("--num_classes2", type=int, default=0)
     p.add_argument("--results_root", type=str, default="results")
+    p.add_argument("--width", type=int, default=64,
+                   help="encoder stem width (64 = reference CLIP RN50; "
+                        "smaller values give CPU-sized test encoders)")
+    p.add_argument("--layers", type=int, nargs=4, default=[3, 4, 6, 3],
+                   help="bottleneck blocks per stage (3 4 6 3 = RN50)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint_dir", type=str, default=None,
@@ -127,6 +132,8 @@ def main(argv=None) -> Path:
         num_classes2=num_classes2,
         dtype=dtype,
         input_resolution=args.image_size,
+        width=args.width,
+        layers=tuple(args.layers),
     )
 
     train_cat, test_cat = get_datasets(
@@ -221,6 +228,7 @@ def main(argv=None) -> Path:
                          loss_cfg.classification_weight2],
         "model_type": args.model_type, "num_classes": args.num_classes,
         "num_classes2": num_classes2, "image_size": args.image_size,
+        "width": args.width, "layers": list(args.layers),
         "resize_mode": resize_mode
         or getattr(train_cat, "resize_mode", "square"),
         "n_devices": 1 if mesh is None else int(mesh.devices.size),

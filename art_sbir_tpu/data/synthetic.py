@@ -57,6 +57,110 @@ def _svg(seed: int, w: int = 640, h: int = 480) -> str:
     )
 
 
+def _shape_params(class_id: int, photo_id: int) -> list:
+    """Deterministic shape composition for one photo instance.
+
+    Shape 0's type encodes the CLASS (so the classification head has signal);
+    the remaining shapes' types/positions/sizes/colors encode the INSTANCE
+    (so triplet retrieval has signal). Returned tuples:
+    (shape_type, cx, cy, rx, ry, angle, rgb) — all fractions of image size.
+    """
+    rng = np.random.default_rng(1_000_003 * class_id + photo_id)
+    shapes = []
+    n_shapes = 2 + int(rng.integers(0, 2))  # 2 or 3 shapes
+    # each shape lives in its own quadrant (seeded order) so photos don't
+    # occlude shapes the sketch still outlines — occlusion destroys the
+    # photo-side instance signal the triplet loss must learn
+    quads = rng.permutation(4)[:n_shapes]
+    for s in range(n_shapes):
+        stype = class_id % 3 if s == 0 else int(rng.integers(0, 3))
+        qx, qy = quads[s] % 2, quads[s] // 2
+        cx = 0.25 + 0.5 * qx + rng.uniform(-0.08, 0.08)
+        cy = 0.25 + 0.5 * qy + rng.uniform(-0.08, 0.08)
+        rx = rng.uniform(0.10, 0.20)
+        ry = rx * rng.uniform(0.6, 1.0)
+        angle = float(rng.uniform(0, 2 * np.pi))
+        color = tuple(int(c) for c in rng.integers(40, 216, 3))
+        shapes.append((stype, float(cx), float(cy), float(rx), float(ry),
+                       angle, color))
+    return shapes
+
+
+def _shape_points(stype, cx, cy, rx, ry, angle, size) -> list:
+    """Polygon vertices (pixels) for rect/triangle; None for ellipse."""
+    if stype == 0:
+        return None  # axis-aligned ellipse
+    n = 4 if stype == 1 else 3
+    phase = angle
+    pts = []
+    for k in range(n):
+        t = phase + 2 * np.pi * k / n
+        pts.append((cx * size + rx * size * np.cos(t),
+                    cy * size + ry * size * np.sin(t)))
+    return pts
+
+
+def _learnable_photo(class_id: int, photo_id: int, size: int) -> Image.Image:
+    """Photo: outlined, lightly-filled shapes over a bright background.
+
+    Design notes (measured, see PERF.md "learnable corpus"): shapes carry a
+    black outline identical to the sketch rendering and the background is
+    bright (230 +- gradient), so the two modalities share edge features and
+    first/second-moment pixel statistics. With a single shared BatchNorm
+    encoder (reference `model.py` semantics), eval-mode retrieval normalizes
+    BOTH modalities with one set of running stats — a large photo/sketch
+    statistics gap makes eval-mode embeddings diverge from the train-mode
+    ones the loss optimized, which caps retrieval at near-chance even when
+    train-mode retrieval is ~perfect (the round-2 scale-golden train/test
+    loss gap had the same root cause)."""
+    rng = np.random.default_rng(7_000_003 * class_id + photo_id + 13)
+    base = rng.integers(215, 245)
+    grad = np.linspace(-12, 12, size)[:, None]
+    arr = np.clip(base + grad + rng.normal(0, 5, (size, size)), 0, 255)
+    arr = np.repeat(arr[..., None], 3, -1).astype(np.uint8)
+    img = Image.fromarray(arr)
+    draw = ImageDraw.Draw(img)
+    width = max(1, size // 48)
+    for stype, cx, cy, rx, ry, angle, color in _shape_params(class_id, photo_id):
+        # muted fill: keep fills light so overall brightness stays close to
+        # the sketch domain, but distinct enough to look like a photo
+        fill = tuple(int(160 + 0.35 * c) for c in color)
+        pts = _shape_points(stype, cx, cy, rx, ry, angle, size)
+        if pts is None:
+            bbox = [(cx - rx) * size, (cy - ry) * size,
+                    (cx + rx) * size, (cy + ry) * size]
+            draw.ellipse(bbox, fill=fill, outline=(0, 0, 0), width=width)
+        else:
+            draw.polygon(pts, fill=fill, outline=(0, 0, 0), width=width)
+    return img
+
+
+def _learnable_sketch(class_id: int, photo_id: int, sketch_id: int,
+                      size: int) -> Image.Image:
+    """Sketch: black outlines of the SAME shapes on white, with small
+    per-sketch hand-drawn jitter (center/size/rotation), so the sketch is a
+    deterministic function of its paired photo plus sketch-level noise."""
+    rng = np.random.default_rng(
+        900_000_007 * class_id + 1_009 * photo_id + sketch_id)
+    img = Image.new("RGB", (size, size), (255, 255, 255))
+    draw = ImageDraw.Draw(img)
+    for stype, cx, cy, rx, ry, angle, _ in _shape_params(class_id, photo_id):
+        cx += rng.normal(0, 0.012)
+        cy += rng.normal(0, 0.012)
+        rx *= rng.uniform(0.92, 1.08)
+        ry *= rng.uniform(0.92, 1.08)
+        angle += rng.normal(0, 0.05)
+        pts = _shape_points(stype, cx, cy, rx, ry, angle, size)
+        width = max(1, size // 48)
+        if pts is None:
+            bbox = [(cx - rx) * size, (cy - ry) * size,
+                    (cx + rx) * size, (cy + ry) * size]
+            draw.ellipse(bbox, outline=(0, 0, 0), width=width)
+        else:
+            draw.polygon(pts, outline=(0, 0, 0), width=width)
+    return img
+
+
 def make_synthetic_sketchy(
     root: Path | str,
     n_classes: int = 3,
@@ -64,9 +168,19 @@ def make_synthetic_sketchy(
     sketches_per_photo: int = 2,
     size: int = 96,
     with_svg: bool = False,
+    learnable: bool = False,
 ) -> Path:
     """data/sketchy layout: photos/<class>/nX_Y.jpg +
-    sketches_png/<class>/nX_Y-k.png (+ sketches_svg)."""
+    sketches_png/<class>/nX_Y-k.png (+ sketches_svg).
+
+    ``learnable=False`` (default) keeps the historical corpus — uniform-noise
+    photos + unrelated random polyline sketches — whose retrieval metrics sit
+    exactly at the random-ranking expectation; existing goldens pin it.
+    ``learnable=True`` renders each sketch as a line drawing of its paired
+    photo's shape composition (VERDICT round-2 item 1), so triplet training
+    (reference `train.py:39-98` recipe) demonstrably moves recall@K above
+    chance — see ``tests/test_learnability.py`` and ``goldens/learn_tpu.json``.
+    """
     root = Path(root)
     classes = [f"class{c:02d}" for c in range(n_classes)]
     for ci, cls in enumerate(classes):
@@ -76,11 +190,13 @@ def make_synthetic_sketchy(
             (root / "sketches_svg" / cls).mkdir(parents=True, exist_ok=True)
         for pi in range(photos_per_class):
             img_id = f"n{ci:08d}_{pi}"
-            _img(ci * 100 + pi, size).save(root / "photos" / cls / f"{img_id}.jpg")
+            photo = (_learnable_photo(ci, pi, size) if learnable
+                     else _img(ci * 100 + pi, size))
+            photo.save(root / "photos" / cls / f"{img_id}.jpg")
             for si in range(1, sketches_per_photo + 1):
-                _img(ci * 1000 + pi * 10 + si, size, sketch=True).save(
-                    root / "sketches_png" / cls / f"{img_id}-{si}.png"
-                )
+                sketch = (_learnable_sketch(ci, pi, si, size) if learnable
+                          else _img(ci * 1000 + pi * 10 + si, size, sketch=True))
+                sketch.save(root / "sketches_png" / cls / f"{img_id}-{si}.png")
                 if with_svg:
                     (root / "sketches_svg" / cls / f"{img_id}-{si}.svg").write_text(
                         _svg(ci * 1000 + pi * 10 + si)

@@ -6,12 +6,21 @@ files (`dataset.py:29-41`), optional per-image midas depth maps, and in
 train mode an unpaired second domain aligned by index after the reference's
 repeat-and-cutoff balancing. Decoding/resizing runs in the shared loader.
 
-Reference semantics reproduced exactly:
+Reference semantics reproduced (with two deliberate, documented deviations):
 
 * depth mode (`dataset.py:52-75`): the image list is REBUILT from the depth
   maps — for each depth map, keep the image in ``root`` whose basename
   matches, else ``<stem>.jpg``; images without a depth correspondence are
-  dropped, and ``depth_maps[i]`` pairs with ``data[i]`` by list order.
+  dropped. DEVIATION: the reference keeps the FULL depth list
+  (`dataset.py:77` ``self.depth_maps = depth``), so when any depth map lacks
+  an image correspondence, ``depth_maps[i]`` / ``data[i]`` pairing SHIFTS
+  for every later index — a misalignment bug. This catalog keeps only the
+  matched maps (``kept_depth``) so the pairing is always correct.
+* file listing: the reference's ``make_dataset`` accepts jpg/jpeg/png only
+  and walks ``sorted(os.walk)`` with UNSORTED filenames within a directory;
+  :func:`list_images` deliberately widens to bmp/webp (any case) and uses a
+  fully ``sorted`` recursive glob so which files survive the 10k cap is
+  deterministic across filesystems.
 * train second domain (`dataset.py:87-105`): the shorter of (data, img2) is
   tiled ``(len(longer) // len(shorter)) + 1`` times, then both truncated to
   ``min`` of the new lengths — i.e. the shorter list cycles; pairing is by

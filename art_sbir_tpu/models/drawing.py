@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from art_sbir_tpu.models.layers import ConvTranspose, instance_norm, reflect_pad
+from .layers import BN_MOMENTUM
 
 
 class _ResBlock(nn.Module):
@@ -78,7 +79,7 @@ class GlobalGenerator2(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         import jax.numpy as jnp
 
-        bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                                   epsilon=1e-5)
         mult = 8
         h = reflect_pad(x, 4)

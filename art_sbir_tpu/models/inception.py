@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from .layers import BN_MOMENTUM
 
 
 class BasicConv2d(nn.Module):
@@ -31,7 +32,7 @@ class BasicConv2d(nn.Module):
             padding=[(ph, ph), (pw, pw)], use_bias=False,
         )(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         momentum=0.9)(x)
+                         momentum=BN_MOMENTUM)(x)
         return nn.relu(x)
 
 

@@ -15,6 +15,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# BatchNorm running-stat momentum shared by the whole model zoo (torch
+# BatchNorm2d default 0.1 decay = flax momentum 0.9). train.triplet's
+# _forward3 derives its sequential-stats recombination from THIS constant —
+# a model using a different momentum must not silently reuse it.
+BN_MOMENTUM = 0.9
+
 
 def reflect_pad(x: jax.Array, pad: int) -> jax.Array:
     """nn.ReflectionPad2d(pad) on NHWC."""

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from art_sbir_tpu.models.layers import ConvTranspose, instance_norm, reflect_pad
+from .layers import BN_MOMENTUM
 
 INIT = nn.initializers.normal(0.02)
 
@@ -38,7 +39,7 @@ class Norm(nn.Module):
                 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
             )
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=1e-5,
                 scale_init=scale_init,
             )(x)
         if self.kind == "instance":

@@ -27,6 +27,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from .layers import BN_MOMENTUM
 
 Dtype = Any
 
@@ -54,7 +55,7 @@ class Bottleneck(nn.Module):
             dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
 
@@ -132,7 +133,7 @@ class ModifiedResNet(nn.Module):
             dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         x = x.astype(self.dtype)

@@ -214,6 +214,12 @@ def retrieve_fused_core(
     :func:`retrieve_fused` does this). Benchmarks time this core — the
     certificate makes the fast path's exactness checkable without paying
     for it."""
+    if k > gallery.shape[0]:
+        raise ValueError(
+            f"k={k} exceeds gallery size {gallery.shape[0]}: unfilled top-k "
+            "slots would hold the sentinel and fail every row's exactness "
+            "certificate. Clamp k to min(k, len(gallery)) as "
+            "evaluate_retrieval does.")
     return _core_jit(queries, gallery, pos_idx, k=k, tile_q=tile_q,
                      tile_n=tile_n, interpret=_resolve_interpret(interpret),
                      precision=precision, metric=metric)
@@ -431,6 +437,12 @@ def retrieve_fused_sharded_core(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Resolve the interpret default, then dispatch to the jitted sweep
     (see :func:`_sharded_core_jit` for the algorithm)."""
+    if k > gallery.shape[0]:
+        raise ValueError(
+            f"k={k} exceeds gallery size {gallery.shape[0]}: unfilled top-k "
+            "slots would hold the sentinel and fail every row's exactness "
+            "certificate. Clamp k to min(k, len(gallery)) as "
+            "evaluate_retrieval does.")
     return _sharded_core_jit(
         queries, gallery, pos_idx, mesh=mesh, axis_name=axis_name, k=k,
         tile_q=tile_q, tile_n=tile_n,

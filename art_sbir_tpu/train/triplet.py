@@ -30,6 +30,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from art_sbir_tpu.core.metrics import Timer
+from art_sbir_tpu.models.layers import BN_MOMENTUM
 from art_sbir_tpu.train.losses import TripletLossConfig, triplet_loss_with_heads
 
 
@@ -105,7 +106,7 @@ def _forward3(apply_fn, params, batch_stats, batch, train: bool):
             )
 
         outs, muts = jax.vmap(one)(x3)
-        m = 0.9  # BN momentum used across the model zoo
+        m = BN_MOMENTUM  # single source of truth for the whole model zoo
 
         def combine(s0, u):
             b = (u - s0 * m) / (1.0 - m)  # (3, ...) recovered batch stats

@@ -70,6 +70,17 @@ def test_fused_manufactured_ties(rng):
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
 
 
+def test_fused_rejects_k_above_gallery(rng):
+    """k > N would leave sentinel-filled top-k slots that fail every row's
+    certificate (ADVICE r2): the entry points reject it loudly instead."""
+    gal = rng.standard_normal((8, 16)).astype(np.float32)
+    q = gal[:2]
+    pos = np.arange(2, dtype=np.int32)
+    with pytest.raises(ValueError, match="exceeds gallery size"):
+        retrieve_fused(jnp.array(q), jnp.array(gal), jnp.array(pos), k=16,
+                       interpret=True)
+
+
 def test_fused_self_retrieval(rng):
     gal = rng.standard_normal((256, 32)).astype(np.float32)
     q = gal[[5, 100, 200]]
