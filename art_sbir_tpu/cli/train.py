@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the latest checkpoint in checkpoint_dir")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of training")
+    p.add_argument("--eval_every_epoch", action="store_true",
+                   help="run the full retrieval evaluation (embed gallery + "
+                        "queries, rank) after EVERY epoch and record "
+                        "MRR/recall@K per epoch in training.json "
+                        "(epoch_metrics) — the learning-curve goldens use "
+                        "this to lock 'training improves retrieval' as a "
+                        "regression contract")
     p.add_argument("--n_devices", type=int, default=1,
                    help="data-parallel devices over the ICI mesh "
                         "(1 = single device, -1 = all available); batches "
@@ -259,9 +266,34 @@ def main(argv=None) -> Path:
                 print(f"Resumed from epoch {start_epoch}", flush=True)
         from art_sbir_tpu.core.metrics import maybe_profile
 
+        epoch_hook = None
+        if args.eval_every_epoch:
+            def epoch_hook(epoch: int, st) -> dict:
+                def fwd(images_uint8):
+                    x = finish_gallery_batch(images_uint8)
+                    out = model.apply(
+                        {"params": st.params, "batch_stats": st.batch_stats},
+                        x, train=False,
+                    )
+                    return out[0] if isinstance(out, tuple) else out
+
+                d = run_inference(
+                    fwd, test_cat, None, args.loss_type,
+                    image_size=args.image_size, resize_mode=resize_mode,
+                    model_name=type(model).__name__, mesh=mesh,
+                )
+                stats = d.get("drawing_stats", d)
+                return {
+                    "mrr": float(stats["mean_reciprocal_rank"]),
+                    "top1": float(stats["topk_acc"][0]),
+                    "top10": float(stats["topk_acc"][9]),
+                    "rank_mean": float(stats["mean"]),
+                }
+
         trainer = TripletTrainer(
             loss_cfg, args.batch_size, args.epochs,
             checkpoint_manager=mgr, checkpoint_every_epochs=args.checkpoint_every,
+            epoch_hook=epoch_hook,
         )
         with maybe_profile(args.trace_dir):
             state, training_dict = trainer.run(

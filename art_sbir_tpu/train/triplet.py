@@ -179,6 +179,10 @@ class TripletTrainer:
     epochs: int = 1
     checkpoint_manager: Optional[Any] = None  # core.checkpoint.CheckpointManager
     checkpoint_every_epochs: int = 1
+    # optional per-epoch callback (epoch_1based, state) -> metrics dict;
+    # results are collected under training_dict["epoch_metrics"] — used by
+    # the learning-curve goldens to record retrieval MRR/recall@K per epoch
+    epoch_hook: Optional[Callable[[int, "TrainState"], Dict]] = None
 
     def __post_init__(self):
         self.train_step = make_train_step(self.cfg)
@@ -199,6 +203,7 @@ class TripletTrainer:
         train_losses, test_losses = [], []
         itrain_losses, itest_losses = [], []
         step_times = []
+        epoch_metrics = []
 
         import itertools
 
@@ -252,6 +257,12 @@ class TripletTrainer:
                     {"params": state.params, "batch_stats": state.batch_stats,
                      "opt_state": state.opt_state, "step": state.step},
                 )
+            if self.epoch_hook is not None:
+                m = {"epoch": epoch + 1, **self.epoch_hook(epoch + 1, state)}
+                epoch_metrics.append(m)
+                log(f"Epoch {epoch + 1} - " + " | ".join(
+                    f"{k}: {v:.5f}" for k, v in m.items()
+                    if k != "epoch" and isinstance(v, float)))
 
         training_dict = {
             "train_losses": train_losses,
@@ -270,4 +281,6 @@ class TripletTrainer:
                 / max(sum(n for _, n in step_times), 1)
             ),
         }
+        if epoch_metrics:
+            training_dict["epoch_metrics"] = epoch_metrics
         return state, training_dict

@@ -1,0 +1,122 @@
+"""Training demonstrably improves retrieval (VERDICT r2 item 1).
+
+The historical synthetic corpus is unlearnable by construction (noise
+photos, unrelated sketches), so every retrieval metric it produces sits at
+the random-ranking expectation. The LEARNABLE corpus
+(``data/synthetic.py::make_synthetic_sketchy(learnable=True)``) renders each
+sketch as a line drawing of its paired photo's shape composition; this test
+closes the loop the reference exists for (`train.py:39-98` ->
+`inference.py:94-136`): gradient steps -> embeddings move -> recall rises
+above chance.
+
+Uses the same public APIs the train CLI drives (create_encoder,
+make_train_step, eval-mode embedding, rank-against-gallery), CPU-sized:
+32 px, width-8 (1,1,1,1) encoder, 4 classes x 16 photos/side. The TPU-scale
+flagship-recipe counterpart is ``goldens/learn_tpu.json`` (>= 10x chance,
+per-epoch curve) recorded by ``cli/goldens.py --preset learn``.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from art_sbir_tpu.data.synthetic import _learnable_photo, _learnable_sketch
+from art_sbir_tpu.models.resnet import create_encoder
+from art_sbir_tpu.ops.resize import CLIP_MEAN, CLIP_STD
+from art_sbir_tpu.train.losses import TripletLossConfig
+from art_sbir_tpu.train.triplet import (create_train_state, make_train_step,
+                                        torch_adam)
+
+SIZE = 32
+NC = 4          # classes
+PPC = 32        # photos per class; first half train, second half test
+STEPS = 260
+BATCH = 16
+
+
+def _norm(u8: np.ndarray) -> np.ndarray:
+    f = u8.astype(np.float32) / 255.0
+    return ((f - np.asarray(CLIP_MEAN, np.float32))
+            / np.asarray(CLIP_STD, np.float32))
+
+
+def _build(split: str):
+    photos, labels, sketches, pidx = [], [], [], []
+    prng = range(PPC // 2) if split == "train" else range(PPC // 2, PPC)
+    pmap = {}
+    for ci in range(NC):
+        for pi in prng:
+            pmap[(ci, pi)] = len(photos)
+            photos.append(np.asarray(_learnable_photo(ci, pi, SIZE)))
+            labels.append(ci)
+    for ci in range(NC):
+        for pi in prng:
+            for si in (1, 2):
+                sketches.append(np.asarray(_learnable_sketch(ci, pi, si, SIZE)))
+                pidx.append(pmap[(ci, pi)])
+    return (_norm(np.stack(photos)), np.array(labels),
+            _norm(np.stack(sketches)), np.array(pidx))
+
+
+def _mrr(embed, photos, sketches, pidx) -> float:
+    pe = np.asarray(embed(jnp.asarray(photos)))
+    se = np.asarray(embed(jnp.asarray(sketches)))
+    d = ((se[:, None] - pe[None]) ** 2).sum(-1)
+    ranks = (d < d[np.arange(len(se)), pidx][:, None]).sum(-1)
+    return float(np.mean(1.0 / (ranks + 1)))
+
+
+@pytest.mark.slow
+def test_training_lifts_retrieval_above_chance():
+    tp, tl, ts, tpi = _build("train")
+    vp, _, vs, vpi = _build("test")
+    n_gallery = len(vp)  # 64
+    chance = (np.log(n_gallery) + 0.5772) / n_gallery  # ~0.073
+
+    model = create_encoder(with_classification=True, num_classes=NC,
+                           dtype=jnp.float32, input_resolution=SIZE,
+                           width=8, layers=(1, 1, 1, 1))
+    state = create_train_state(model, jax.random.key(0), (1, SIZE, SIZE, 3),
+                               tx=torch_adam(1e-3, 2e-3))
+    train_step = make_train_step(
+        TripletLossConfig(0.2, "euclidean", 0.5, 0.0, num_heads=1))
+
+    @jax.jit
+    def embed_with(params, bstats, x):
+        out = model.apply({"params": params, "batch_stats": bstats}, x,
+                          train=False)
+        return out[0]
+
+    def embed(x):
+        return embed_with(state.params, state.batch_stats, x)
+
+    before = _mrr(embed, vp, vs, vpi)
+    # fresh init: eval-mode retrieval is at chance (loose 4-sigma band)
+    assert before < 3.0 * chance, (before, chance)
+
+    rng = np.random.default_rng(0)
+    first_loss = last_loss = None
+    for _ in range(STEPS):
+        sk = rng.integers(0, len(ts), BATCH)
+        pos = tpi[sk]
+        # same-class, different-photo negatives (SketchyV2 semantics)
+        neg = np.array([
+            rng.choice(np.where((tl == tl[p]) & (np.arange(len(tp)) != p))[0])
+            for p in pos])
+        batch = {"sketch": jnp.asarray(ts[sk]),
+                 "positive": jnp.asarray(tp[pos]),
+                 "negative": jnp.asarray(tp[neg]),
+                 "label": jnp.asarray(tl[pos])}
+        state, losses = train_step(state, batch)
+        if first_loss is None:
+            first_loss = float(losses["loss"])
+    last_loss = float(losses["loss"])
+    assert last_loss < first_loss, (first_loss, last_loss)
+
+    after = _mrr(embed, vp, vs, vpi)
+    # UNSEEN photos, eval-mode (running-stat) embeddings: well above chance.
+    # Measured headroom: ~0.48 at step 100, ~0.75 at step 600 (48 px) vs the
+    # 0.073 chance line; 3x is a conservative regression floor.
+    assert after > 3.0 * chance, (after, chance)
+    assert after > before + 0.10, (before, after)
