@@ -143,6 +143,82 @@ def run(preset_name: str, root: Path, results_root: Path,
     return golden
 
 
+# --------------------------------------------------------------- generative
+# Seeded loss-trajectory goldens for the VAE (photo2sketch) and GAN
+# (pix2pix) pipelines (VERDICT r2 item 7): CPU-sized, recorded under the
+# suite's pinned environment so tests/test_goldens.py can reproduce them
+# EXACTLY — same discipline as the ci triplet preset.
+
+GENERATIVE_PRESETS = {
+    "vae_ci": dict(
+        cli="photo2sketch",
+        corpus=dict(n_classes=2, photos_per_class=2, with_svg=True),
+        argv=["--setup", "Sketchy", "--batchsize", "4", "--max_epoch", "2",
+              "--save_rate", "2", "--size", "1.0", "--dec_rnn_size", "32",
+              "--z_size", "8", "--num_mixture", "3", "--img_format", "svg"],
+        loss_keys=("total_loss", "kl_loss", "reconstruction_loss"),
+    ),
+    "gan_ci": dict(
+        cli="pix2pix",
+        corpus=dict(n_classes=2, photos_per_class=2),
+        argv=["--mode", "train", "-b", "4", "-e", "2",
+              "--dataset", "SketchyPix2Pix", "--image_size", "64",
+              "--ngf", "8", "--ndf", "8", "-s", "1.0"],
+        loss_keys=("G_GAN", "G_L1", "D_real", "D_fake"),
+    ),
+}
+
+
+def run_generative(preset_name: str, workdir: Path) -> dict:
+    """Run the generative CLI end-to-end inside ``workdir`` (both CLIs
+    write relative ``results/``+``models/`` trees, like the reference's
+    scripts) and return its seeded loss trajectories."""
+    import contextlib
+    import os
+
+    import jax
+
+    from art_sbir_tpu.data.synthetic import make_synthetic_sketchy
+
+    preset = GENERATIVE_PRESETS[preset_name]
+    workdir.mkdir(parents=True, exist_ok=True)
+    root = make_synthetic_sketchy(workdir / "sketchy", **preset["corpus"])
+
+    @contextlib.contextmanager
+    def chdir(p):
+        old = os.getcwd()
+        os.chdir(p)
+        try:
+            yield
+        finally:
+            os.chdir(old)
+
+    with chdir(workdir):
+        if preset["cli"] == "photo2sketch":
+            from art_sbir_tpu.cli import photo2sketch
+
+            photo2sketch.main(preset["argv"] + ["--data_root", str(root)])
+        else:
+            from art_sbir_tpu.cli import pix2pix
+
+            pix2pix.main(preset["argv"] + ["--data_root", str(root)])
+        runs = sorted((workdir / "results").iterdir())
+        training = json.loads((runs[-1] / "training.json").read_text())
+
+    train_losses = training["train_losses"]
+    golden = {
+        "preset": preset_name,
+        "backend": jax.default_backend(),
+        "config": {k: v for k, v in preset.items() if k != "cli"},
+        "train_losses": {k: train_losses[k] for k in preset["loss_keys"]},
+    }
+    if "test_losses" in training:
+        golden["test_losses"] = {
+            k: training["test_losses"][k] for k in preset["loss_keys"]
+            if k in training["test_losses"]}
+    return golden
+
+
 def pin_ci_environment() -> None:
     """Mirror tests/conftest.py so the recorded ci golden is bit-comparable
     with the suite's re-run: CPU backend, 8 virtual devices, full-precision
@@ -165,19 +241,35 @@ def main(argv=None) -> None:
     # parse BEFORE any jax import: the ci preset must pin its backend
     # settings first (pin_ci_environment)
     p = argparse.ArgumentParser(description="record pipeline goldens")
-    p.add_argument("--preset", choices=sorted(PRESETS), default="scale")
+    p.add_argument("--preset",
+                   choices=sorted(PRESETS) + sorted(GENERATIVE_PRESETS),
+                   default="scale")
     p.add_argument("--root", type=str, default="data/goldens")
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None,
                    help="output JSON (default goldens/<preset>_<backend>.json)")
     args = p.parse_args(argv)
-    if args.preset == "ci":
+    if args.preset.endswith("ci"):
         pin_ci_environment()
 
     from art_sbir_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.preset in GENERATIVE_PRESETS:
+        golden = run_generative(args.preset, Path(args.root) / args.preset)
+        out = Path(args.out) if args.out else Path(
+            f"goldens/{args.preset}_{golden['backend']}.json")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(golden, indent=2, sort_keys=True))
+        print(json.dumps({"preset": args.preset,
+                          "backend": golden["backend"],
+                          "final": {k: v[-1] for k, v in
+                                    golden["train_losses"].items()}}),
+              flush=True)
+        print(f"golden written to {out}", flush=True)
+        return
 
     golden = run(args.preset, Path(args.root), Path(args.results_root),
                  args.seed)

@@ -58,3 +58,66 @@ def test_ci_preset_reproduces_golden(tmp_path):
         want["final_train_loss"], rel=1e-5)
     assert got["final_test_loss"] == pytest.approx(
         want["final_test_loss"], rel=1e-5)
+
+
+@pytest.mark.slow
+def test_vae_ci_preset_reproduces_golden(tmp_path):
+    """Photo2Sketch VAE loss-trajectory golden (VERDICT r2 item 7): the
+    seeded 2-epoch CPU run reproduces goldens/vae_ci_cpu.json exactly."""
+    path = GOLDENS / "vae_ci_cpu.json"
+    assert path.is_file(), "run `python -m art_sbir_tpu.cli.goldens " \
+        "--preset vae_ci` on this backend"
+    want = json.loads(path.read_text())
+    assert want["backend"] == "cpu"
+
+    from art_sbir_tpu.cli.goldens import run_generative
+
+    got = run_generative("vae_ci", tmp_path / "vae_ci")
+    for split in ("train_losses", "test_losses"):
+        for k, series in want[split].items():
+            assert got[split][k] == pytest.approx(series, rel=1e-6), (split, k)
+
+
+@pytest.mark.slow
+def test_gan_ci_preset_reproduces_golden(tmp_path):
+    """pix2pix GAN loss-trajectory golden: seeded 2-epoch CPU run
+    reproduces goldens/gan_ci_cpu.json exactly (G_GAN/G_L1/D_real/D_fake)."""
+    path = GOLDENS / "gan_ci_cpu.json"
+    assert path.is_file(), "run `python -m art_sbir_tpu.cli.goldens " \
+        "--preset gan_ci` on this backend"
+    want = json.loads(path.read_text())
+    assert want["backend"] == "cpu"
+
+    from art_sbir_tpu.cli.goldens import run_generative
+
+    got = run_generative("gan_ci", tmp_path / "gan_ci")
+    for k, series in want["train_losses"].items():
+        assert got["train_losses"][k] == pytest.approx(series, rel=1e-6), k
+
+
+def test_learn_tpu_golden_contract():
+    """The learning-curve golden (VERDICT r2 item 1): the flagship recipe
+    on the LEARNABLE corpus must end >= 10x above the random-ranking
+    expectation with a generally-rising per-epoch curve — the regression
+    lock on 'gradient steps move recall'."""
+    path = GOLDENS / "learn_tpu.json"
+    assert path.is_file(), "goldens/learn_tpu.json missing - run " \
+        "`python -m art_sbir_tpu.cli.goldens --preset learn` on the TPU chip"
+    g = json.loads(path.read_text())
+    assert g["backend"] != "cpu"
+    assert g["config"]["learnable"] is True
+    chance = g["chance_mrr"]
+    assert 0 < chance < 0.05
+    curve = g["epoch_metrics"]
+    assert len(curve) == g["config"]["epochs"]
+    mrrs = [e["mrr"] for e in curve]
+    assert g["mrr"] == pytest.approx(mrrs[-1], rel=1e-6)
+    # final MRR >= 10x chance; curve rises (first -> last, and the best
+    # epoch is not the first — BN warmup makes strict monotonicity too
+    # brittle to pin)
+    assert mrrs[-1] >= 10 * chance, (mrrs, chance)
+    assert mrrs[-1] > mrrs[0]
+    assert max(mrrs) > 2 * mrrs[0] or mrrs[0] >= 10 * chance
+    top10 = [e["top10"] for e in curve]
+    assert top10[-1] > top10[0]
+    assert all(0 <= t <= 1 for t in top10)
