@@ -48,6 +48,10 @@ def main(argv=None) -> None:
                    choices=["vanilla", "lsgan", "wgangp"])
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 network compute (f32 master weights, "
+                        "optimizer state, BN running stats and losses); "
+                        "OFF by default = reference f32 semantics")
     p.add_argument("--dataset", default="SketchyPix2Pix",
                    choices=["SketchyPix2Pix", "KaggleDatasetImgOnlyV1"])
     p.add_argument("--img_type", default=None,
@@ -74,7 +78,7 @@ def main(argv=None) -> None:
     cfg = Pix2PixConfig(
         net_g=args.netG, net_d=args.netD, norm=args.norm, gan_mode=args.gan_mode,
         lambda_l1=args.lambda_L1, lr=args.lr, image_size=args.image_size,
-        ngf=args.ngf, ndf=args.ndf,
+        ngf=args.ngf, ndf=args.ndf, bf16=args.bf16,
     )
     model = Pix2Pix(cfg, jax.random.key(args.seed))
     if args.model:

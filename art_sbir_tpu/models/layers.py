@@ -9,7 +9,7 @@ padding.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -29,10 +29,13 @@ def reflect_pad(x: jax.Array, pad: int) -> jax.Array:
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """torch InstanceNorm2d defaults: per-(N, C) spatial stats, biased var,
-    no affine, no running stats."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    no affine, no running stats. Stats are computed in f32 regardless of the
+    compute dtype (bf16 spatial reductions lose ~3 digits); the result comes
+    back in x.dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class TorchLSTMCell(nn.Module):
@@ -104,6 +107,7 @@ class ConvTranspose(nn.Module):
     output_padding: int = 0
     use_bias: bool = True
     kernel_init: nn.initializers.Initializer = nn.initializers.normal(0.02)
+    dtype: Optional[jnp.dtype] = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -117,6 +121,9 @@ class ConvTranspose(nn.Module):
             if self.use_bias
             else None
         )
+        if self.dtype is not None:
+            x, k = x.astype(self.dtype), k.astype(self.dtype)
+            b = None if b is None else b.astype(self.dtype)
         return torch_conv_transpose(
             x, k, self.stride, self.padding, self.output_padding, b
         )

@@ -26,9 +26,11 @@ INIT = nn.initializers.normal(0.02)
 
 
 class Norm(nn.Module):
-    """batch | instance | none."""
+    """batch | instance | none. ``dtype`` is the compute dtype (params and
+    running stats stay f32 — flax param_dtype default)."""
 
     kind: str = "batch"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -40,7 +42,7 @@ class Norm(nn.Module):
             )
             return nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM, epsilon=1e-5,
-                scale_init=scale_init,
+                scale_init=scale_init, dtype=self.dtype,
             )(x)
         if self.kind == "instance":
             return instance_norm(x)
@@ -59,19 +61,20 @@ class ResnetBlock(nn.Module):
     dim: int
     norm: str = "batch"
     use_dropout: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         h = reflect_pad(x, 1)
         h = nn.Conv(self.dim, (3, 3), padding="VALID", use_bias=_use_bias(self.norm),
-                    kernel_init=INIT)(h)
-        h = nn.relu(Norm(self.norm)(h, train))
+                    kernel_init=INIT, dtype=self.dtype)(h)
+        h = nn.relu(Norm(self.norm, self.dtype)(h, train))
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = reflect_pad(h, 1)
         h = nn.Conv(self.dim, (3, 3), padding="VALID", use_bias=_use_bias(self.norm),
-                    kernel_init=INIT)(h)
-        h = Norm(self.norm)(h, train)
+                    kernel_init=INIT, dtype=self.dtype)(h)
+        h = Norm(self.norm, self.dtype)(h, train)
         return x + h
 
 
@@ -81,28 +84,33 @@ class ResnetGenerator(nn.Module):
     n_blocks: int = 9
     norm: str = "batch"
     use_dropout: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         ub = _use_bias(self.norm)
         h = reflect_pad(x, 3)
         h = nn.Conv(self.ngf, (7, 7), padding="VALID", use_bias=ub,
-                    kernel_init=INIT)(h)
-        h = nn.relu(Norm(self.norm)(h, train))
+                    kernel_init=INIT, dtype=self.dtype)(h)
+        h = nn.relu(Norm(self.norm, self.dtype)(h, train))
         for i in range(2):  # downsampling
             mult = 2**i
             h = nn.Conv(self.ngf * mult * 2, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], use_bias=ub, kernel_init=INIT)(h)
-            h = nn.relu(Norm(self.norm)(h, train))
+                        padding=[(1, 1), (1, 1)], use_bias=ub, kernel_init=INIT,
+                        dtype=self.dtype)(h)
+            h = nn.relu(Norm(self.norm, self.dtype)(h, train))
         for _ in range(self.n_blocks):
-            h = ResnetBlock(self.ngf * 4, self.norm, self.use_dropout)(h, train)
+            h = ResnetBlock(self.ngf * 4, self.norm, self.use_dropout,
+                            self.dtype)(h, train)
         for i in range(2):  # upsampling
             mult = 2 ** (2 - i)
             h = ConvTranspose(self.ngf * mult // 2, 3, stride=2, padding=1,
-                              output_padding=1, use_bias=ub, kernel_init=INIT)(h)
-            h = nn.relu(Norm(self.norm)(h, train))
+                              output_padding=1, use_bias=ub, kernel_init=INIT,
+                              dtype=self.dtype)(h)
+            h = nn.relu(Norm(self.norm, self.dtype)(h, train))
         h = reflect_pad(h, 3)
-        h = nn.Conv(self.output_nc, (7, 7), padding="VALID", kernel_init=INIT)(h)
+        h = nn.Conv(self.output_nc, (7, 7), padding="VALID", kernel_init=INIT,
+                    dtype=self.dtype)(h)
         return jnp.tanh(h)
 
 
@@ -114,6 +122,7 @@ class UnetSkipBlock(nn.Module):
     innermost: bool = False
     norm: str = "batch"
     use_dropout: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -126,17 +135,18 @@ class UnetSkipBlock(nn.Module):
         # `pix2pix_model.py:763-764`); only the outermost UPconv defaults
         # to bias=True
         h = nn.Conv(self.inner_nc, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=ub, kernel_init=INIT)(h)
+                    use_bias=ub, kernel_init=INIT, dtype=self.dtype)(h)
         if not (self.outermost or self.innermost):
-            h = Norm(self.norm)(h, train)
+            h = Norm(self.norm, self.dtype)(h, train)
         if self.submodule is not None:
             h = self.submodule(h, train)
         h = nn.relu(h)
         h = ConvTranspose(self.outer_nc, 4, stride=2, padding=1,
-                          use_bias=ub or self.outermost, kernel_init=INIT)(h)
+                          use_bias=ub or self.outermost, kernel_init=INIT,
+                          dtype=self.dtype)(h)
         if self.outermost:
             return jnp.tanh(h)
-        h = Norm(self.norm)(h, train)
+        h = Norm(self.norm, self.dtype)(h, train)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         return jnp.concatenate([x, h], axis=-1)
@@ -148,22 +158,24 @@ class UnetGenerator(nn.Module):
     ngf: int = 64
     norm: str = "batch"
     use_dropout: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         block = UnetSkipBlock(self.ngf * 8, self.ngf * 8, innermost=True,
-                              norm=self.norm)
+                              norm=self.norm, dtype=self.dtype)
         for _ in range(self.num_downs - 5):
             block = UnetSkipBlock(self.ngf * 8, self.ngf * 8, submodule=block,
-                                  norm=self.norm, use_dropout=self.use_dropout)
+                                  norm=self.norm, use_dropout=self.use_dropout,
+                                  dtype=self.dtype)
         block = UnetSkipBlock(self.ngf * 4, self.ngf * 8, submodule=block,
-                              norm=self.norm)
+                              norm=self.norm, dtype=self.dtype)
         block = UnetSkipBlock(self.ngf * 2, self.ngf * 4, submodule=block,
-                              norm=self.norm)
+                              norm=self.norm, dtype=self.dtype)
         block = UnetSkipBlock(self.ngf, self.ngf * 2, submodule=block,
-                              norm=self.norm)
+                              norm=self.norm, dtype=self.dtype)
         block = UnetSkipBlock(self.output_nc, self.ngf, submodule=block,
-                              outermost=True, norm=self.norm)
+                              outermost=True, norm=self.norm, dtype=self.dtype)
         return block(x, train)
 
 
@@ -173,24 +185,28 @@ class NLayerDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 3
     norm: str = "batch"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         ub = _use_bias(self.norm)
         h = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    kernel_init=INIT)(x)
+                    kernel_init=INIT, dtype=self.dtype)(x)
         h = nn.leaky_relu(h, 0.2)
         nf = 1
         for n in range(1, self.n_layers):
             nf = min(2**n, 8)
             h = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], use_bias=ub, kernel_init=INIT)(h)
-            h = nn.leaky_relu(Norm(self.norm)(h, train), 0.2)
+                        padding=[(1, 1), (1, 1)], use_bias=ub, kernel_init=INIT,
+                        dtype=self.dtype)(h)
+            h = nn.leaky_relu(Norm(self.norm, self.dtype)(h, train), 0.2)
         nf = min(2**self.n_layers, 8)
         h = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1),
-                    padding=[(1, 1), (1, 1)], use_bias=ub, kernel_init=INIT)(h)
-        h = nn.leaky_relu(Norm(self.norm)(h, train), 0.2)
-        return nn.Conv(1, (4, 4), padding=[(1, 1), (1, 1)], kernel_init=INIT)(h)
+                    padding=[(1, 1), (1, 1)], use_bias=ub, kernel_init=INIT,
+                    dtype=self.dtype)(h)
+        h = nn.leaky_relu(Norm(self.norm, self.dtype)(h, train), 0.2)
+        return nn.Conv(1, (4, 4), padding=[(1, 1), (1, 1)], kernel_init=INIT,
+                       dtype=self.dtype)(h)
 
 
 class PixelDiscriminator(nn.Module):
@@ -198,36 +214,40 @@ class PixelDiscriminator(nn.Module):
 
     ndf: int = 64
     norm: str = "batch"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         ub = _use_bias(self.norm)
-        h = nn.Conv(self.ndf, (1, 1), kernel_init=INIT)(x)
+        h = nn.Conv(self.ndf, (1, 1), kernel_init=INIT, dtype=self.dtype)(x)
         h = nn.leaky_relu(h, 0.2)
-        h = nn.Conv(self.ndf * 2, (1, 1), use_bias=ub, kernel_init=INIT)(h)
-        h = nn.leaky_relu(Norm(self.norm)(h, train), 0.2)
-        return nn.Conv(1, (1, 1), use_bias=ub, kernel_init=INIT)(h)
+        h = nn.Conv(self.ndf * 2, (1, 1), use_bias=ub, kernel_init=INIT,
+                    dtype=self.dtype)(h)
+        h = nn.leaky_relu(Norm(self.norm, self.dtype)(h, train), 0.2)
+        return nn.Conv(1, (1, 1), use_bias=ub, kernel_init=INIT,
+                       dtype=self.dtype)(h)
 
 
 def define_g(net_g: str, output_nc: int, ngf: int = 64, norm: str = "batch",
-             use_dropout: bool = False) -> nn.Module:
-    """Generator factory (reference `pix2pix_model.py:443-494`)."""
+             use_dropout: bool = False, dtype=None) -> nn.Module:
+    """Generator factory (reference `pix2pix_model.py:443-494`). ``dtype``
+    sets the compute dtype (bf16 mixed precision); params stay f32."""
     if net_g == "resnet_9blocks":
-        return ResnetGenerator(output_nc, ngf, 9, norm, use_dropout)
+        return ResnetGenerator(output_nc, ngf, 9, norm, use_dropout, dtype)
     if net_g == "unet_256":
-        return UnetGenerator(output_nc, 8, ngf, norm, use_dropout)
+        return UnetGenerator(output_nc, 8, ngf, norm, use_dropout, dtype)
     raise NotImplementedError(f"Generator model name [{net_g}] is not recognized")
 
 
 def define_d(net_d: str, ndf: int = 64, n_layers_d: int = 3,
-             norm: str = "batch") -> nn.Module:
+             norm: str = "batch", dtype=None) -> nn.Module:
     """Discriminator factory (reference `pix2pix_model.py:497-527`)."""
     if net_d == "basic":
-        return NLayerDiscriminator(ndf, 3, norm)
+        return NLayerDiscriminator(ndf, 3, norm, dtype)
     if net_d == "n_layers":
-        return NLayerDiscriminator(ndf, n_layers_d, norm)
+        return NLayerDiscriminator(ndf, n_layers_d, norm, dtype)
     if net_d == "pixel":
-        return PixelDiscriminator(ndf, norm)
+        return PixelDiscriminator(ndf, norm, dtype)
     raise NotImplementedError(f"Discriminator model name [{net_d}] is not recognized")
 
 

@@ -49,6 +49,11 @@ class Pix2PixConfig:
     beta1: float = 0.5
     use_dropout: bool = True  # no_dropout=False default
     image_size: int = 256
+    # opt-in mixed precision: f32 master params/optimizer/running stats,
+    # bfloat16 network compute (halved HBM traffic, faster MXU). The
+    # reference trains f32-only; this is a TPU-native speed mode, OFF by
+    # default so the golden trajectories stay bit-stable.
+    bf16: bool = False
 
 
 class Pix2Pix:
@@ -57,9 +62,11 @@ class Pix2Pix:
     def __init__(self, cfg: Pix2PixConfig, rng: jax.Array):
         self.cfg = cfg
         self.criterion = GANLoss(cfg.gan_mode)
+        dt = jnp.bfloat16 if cfg.bf16 else None
         self.net_g = define_g(cfg.net_g, cfg.output_nc, cfg.ngf, cfg.norm,
-                              cfg.use_dropout)
-        self.net_d = define_d(cfg.net_d, cfg.ndf, cfg.n_layers_d, cfg.norm)
+                              cfg.use_dropout, dtype=dt)
+        self.net_d = define_d(cfg.net_d, cfg.ndf, cfg.n_layers_d, cfg.norm,
+                              dtype=dt)
 
         kg, kd = jax.random.split(rng)
         s = cfg.image_size
@@ -87,12 +94,19 @@ class Pix2Pix:
     # ---------------------------------------------------------------- core
 
     def _apply(self, state: TrainState, params, x, train, rngs=None):
+        # With cfg.bf16 the modules themselves cast params/activations to
+        # bfloat16 per layer (flax dtype attr; param_dtype stays f32, so
+        # master weights, grads, optimizer state and BN running stats are
+        # all full precision). Network outputs come back in the compute
+        # dtype — cast to f32 so the GAN/L1 losses are computed at full
+        # precision.
         variables = {"params": params, "batch_stats": state.batch_stats}
         if train:
             out, mut = state.apply_fn(variables, x, train=True,
                                       mutable=["batch_stats"], rngs=rngs)
-            return out, mut["batch_stats"]
-        return state.apply_fn(variables, x, train=False), state.batch_stats
+            return out.astype(jnp.float32), mut["batch_stats"]
+        out = state.apply_fn(variables, x, train=False)
+        return out.astype(jnp.float32), state.batch_stats
 
     def _step(
         self, g: TrainState, d: TrainState, batch: Dict, rng: jax.Array,

@@ -1,6 +1,7 @@
 """GAN and VAE jitted trainers on tiny shapes."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -106,3 +107,38 @@ def test_vae_trainer_step(rng):
     strokes, alphas = trainer.generate(batch["photo"], jax.random.key(3),
                                        num_steps=11)
     assert strokes.shape == (2, 11, 5)
+
+
+def test_pix2pix_bf16_mixed_precision(rng):
+    """--bf16 mode: identical init values (params are created in f32
+    param_dtype either way), f32 master state throughout (params, opt
+    state, BN running stats), finite losses tracking the f32 step to bf16
+    tolerance, and f32 sample output close to the f32 model's."""
+    batch = _gan_batch(rng)
+    m32 = Pix2Pix(Pix2PixConfig(image_size=64, ngf=8, ndf=8),
+                  jax.random.key(0))
+    mbf = Pix2Pix(Pix2PixConfig(image_size=64, ngf=8, ndf=8, bf16=True),
+                  jax.random.key(0))
+
+    for a, b in zip(jax.tree_util.tree_leaves(m32.g.params),
+                    jax.tree_util.tree_leaves(mbf.g.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    l32 = m32.train_step(batch, jax.random.key(1))
+    lbf = mbf.train_step(batch, jax.random.key(1))
+    for k in ("G_GAN", "G_L1", "D_real", "D_fake"):
+        assert np.isfinite(float(lbf[k])), k
+        assert float(lbf[k]) == pytest.approx(float(l32[k]), rel=0.1, abs=0.05), k
+
+    for state in (mbf.g, mbf.d):
+        for leaf in jax.tree_util.tree_leaves(
+                (state.params, state.batch_stats, state.opt_state)):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+
+    out32 = np.asarray(m32.generate(batch["A"]))
+    outbf = np.asarray(mbf.generate(batch["A"]))
+    assert outbf.dtype == np.float32
+    # one-step-trained nets, tanh outputs in [-1, 1]: bf16 quantization
+    # noise accumulated over the net stays small
+    assert np.abs(out32 - outbf).mean() < 0.05
