@@ -28,10 +28,13 @@ from art_sbir_tpu.core.metrics import Timer
 from art_sbir_tpu.ops.distance import retrieve
 
 # gallery size above which evaluate_retrieval streams through the fused
-# Pallas kernel instead of materializing (chunk, N) distance matrices —
-# around here the matrix stops fitting comfortably and the kernel's
-# bandwidth-bound sweep wins (PERF.md 1M measurements)
-FUSED_GALLERY_THRESHOLD = 200_000
+# Pallas kernel instead of materializing (chunk, N) distance matrices.
+# Empirically located on the v5e chip (BENCH_r03 + fine probe, Q=512 and
+# Q=1, f32-highest, min over rounds): XLA retrieve wins below —
+# 10k 2.0x, 20k 1.2x, 35k 1.03x — and the fused kernel never loses from
+# 50k up (1.03-3.6x across rounds at 50k, 1.1x at 100k, 1.4x at 200k,
+# 6.2x at 1M where the (Q, N) matrix stops fitting in HBM).
+FUSED_GALLERY_THRESHOLD = 50_000
 
 
 def sketch_stem_to_name(sketch_path: Path | str, artworks_gallery: bool) -> Optional[str]:

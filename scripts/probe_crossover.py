@@ -24,7 +24,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from art_sbir_tpu.ops.distance import retrieve_chunked
+    from art_sbir_tpu.ops.distance import retrieve, retrieve_chunked
     from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_core
 
     rtt = measure_rtt()
@@ -50,6 +50,11 @@ def main() -> None:
                 "fused_f32": lambda qq: retrieve_fused_core(qq, g, p, k=10),
                 "chunk_f32": lambda qq: retrieve_chunked(
                     qq, g, p, k=10, chunk=256),
+                # what evaluate_retrieval ACTUALLY calls below the
+                # threshold: one full (Q, N) matrix (queries pre-chunked
+                # to 1024 by the caller) — skip where it would exceed ~8GB
+                **({"xla_full_f32": lambda qq: retrieve(qq, g, p, k=10)}
+                   if n * nq * 4 < 8_000_000_000 else {}),
             }
             best = {name: float("inf") for name in cfgs}
             for _ in range(3):
