@@ -45,6 +45,15 @@ PRESETS = {
                   split_ratio=0.5, image_size=128, batch_size=32, epochs=12,
                   learnable=True, gen_size=128, learning_rate=1e-4,
                   eval_every_epoch=True),
+    # the scale preset's corpus on the LEARNABLE generator at flagship
+    # geometry (224², RN50, 5.6k-image gallery): the scale-level
+    # above-chance contract. 2 epochs suffice to clear 10x chance
+    # (~0.0016 at N=5606) by a wide margin.
+    "scale_learn": dict(n_classes=25, photos_per_class=300,
+                        sketches_per_photo=2, split_ratio=0.5,
+                        image_size=224, batch_size=32, epochs=2,
+                        learnable=True, gen_size=224, learning_rate=1e-4,
+                        eval_every_epoch=True),
 }
 
 
