@@ -73,6 +73,10 @@ def main(argv=None) -> None:
                    help="resume from checkpoint_dir")
     p.add_argument("--load_iter", type=int, default=0,
                    help="epoch to resume from (0 = latest)")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel devices over the ICI mesh (0 = single "
+                        "device): G+D states replicate, batches shard on dim "
+                        "0, XLA all-reduces both gradient sets")
     args = p.parse_args(argv)
 
     cfg = Pix2PixConfig(
@@ -80,7 +84,13 @@ def main(argv=None) -> None:
         lambda_l1=args.lambda_L1, lr=args.lr, image_size=args.image_size,
         ngf=args.ngf, ndf=args.ndf, bf16=args.bf16,
     )
-    model = Pix2Pix(cfg, jax.random.key(args.seed))
+    mesh = None
+    if args.n_devices > 1:
+        from art_sbir_tpu.parallel import data_mesh
+
+        mesh = data_mesh(args.n_devices)
+        print(f"data mesh: {mesh.devices.size} devices", flush=True)
+    model = Pix2Pix(cfg, jax.random.key(args.seed), mesh=mesh)
     if args.model:
         from art_sbir_tpu.core.checkpoint import load_pytree
 

@@ -24,6 +24,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.core import FrozenDict
 
@@ -57,10 +58,17 @@ class Pix2PixConfig:
 
 
 class Pix2Pix:
-    """G + D states and the jitted train/eval steps."""
+    """G + D states and the jitted train/eval steps.
 
-    def __init__(self, cfg: Pix2PixConfig, rng: jax.Array):
+    With a ``mesh`` (1-D data mesh from `parallel.data_mesh`), both
+    parameter states are replicated, incoming batches are sharded on dim 0,
+    and XLA inserts the gradient (and BatchNorm batch-stat) all-reduces
+    over ICI under GSPMD — the DP result equals the single-device run
+    (``tests/test_sharding.py::test_pix2pix_dp_matches_single_device``)."""
+
+    def __init__(self, cfg: Pix2PixConfig, rng: jax.Array, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.criterion = GANLoss(cfg.gan_mode)
         dt = jnp.bfloat16 if cfg.bf16 else None
         self.net_g = define_g(cfg.net_g, cfg.output_nc, cfg.ngf, cfg.norm,
@@ -75,8 +83,28 @@ class Pix2Pix:
         tx = optax.adam(cfg.lr, b1=cfg.beta1, b2=0.999)
         self.g = self._mk_state(self.net_g, kg, xa, tx)
         self.d = self._mk_state(self.net_d, kd, xab, tx)
+        if mesh is not None:
+            from art_sbir_tpu.parallel import replicated
+
+            self.g = jax.device_put(self.g, replicated(mesh))
+            self.d = jax.device_put(self.d, replicated(mesh))
         self._train_step = jax.jit(self._step, static_argnames=("decoder_only",))
         self._eval_step = jax.jit(self._losses_only)
+
+    def _shard(self, batch: Dict) -> Dict:
+        """Dim-0-shard array leaves over the data mesh (no-op without one).
+        Ragged batches (dim 0 not divisible by the mesh) are placed
+        replicated instead — correct, just redundantly computed; the CLI
+        tiles train batches to the lcm so the hot loop always shards."""
+        if self.mesh is None:
+            return batch
+        from art_sbir_tpu.parallel import replicated, shard_batch
+
+        n = self.mesh.devices.size
+        if any(np.asarray(v).shape[0] % n
+               for v in batch.values() if hasattr(v, "ndim")):
+            return jax.device_put(batch, replicated(self.mesh))
+        return shard_batch(self.mesh, batch)
 
     @staticmethod
     def _mk_state(model, rng, x, tx) -> TrainState:
@@ -182,13 +210,14 @@ class Pix2Pix:
     def train_step(self, batch: Dict, rng: jax.Array, decoder_only: bool = False
                    ) -> Dict:
         self.g, self.d, losses = self._train_step(
-            self.g, self.d, batch, rng, decoder_only=decoder_only
+            self.g, self.d, self._shard(batch), rng, decoder_only=decoder_only
         )
         return losses
 
     def eval_losses(self, batch: Dict) -> Dict:
-        return self._eval_step(self.g, self.d, batch)
+        return self._eval_step(self.g, self.d, self._shard(batch))
 
     def generate(self, real_a: jax.Array) -> jax.Array:
-        out = self._apply(self.g, self.g.params, real_a, False)
+        out = self._apply(self.g, self.g.params,
+                          self._shard({"A": real_a})["A"], False)
         return out[0]

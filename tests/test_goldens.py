@@ -121,3 +121,26 @@ def test_learn_tpu_golden_contract():
     top10 = [e["top10"] for e in curve]
     assert top10[-1] > top10[0]
     assert all(0 <= t <= 1 for t in top10)
+
+
+def test_scale_learn_tpu_golden_contract():
+    """Scale-level learnability (VERDICT r2 item 8): the flagship recipe on
+    the LEARNABLE corpus at full 224^2 / 5.6k-gallery scale must end well
+    above the random-ranking expectation — the at-scale counterpart of
+    test_learn_tpu_golden_contract (the original scale golden keeps the
+    unlearnable corpus for wall-time/pipeline lineage)."""
+    path = GOLDENS / "scale_learn_tpu.json"
+    assert path.is_file(), "goldens/scale_learn_tpu.json missing - run " \
+        "`python -m art_sbir_tpu.cli.goldens --preset scale_learn` on the TPU"
+    g = json.loads(path.read_text())
+    assert g["backend"] != "cpu"
+    assert g["config"]["learnable"] is True
+    assert g["n_gallery"] >= 5000
+    assert g["n_queries"] >= 5000
+    chance = g["chance_mrr"]
+    assert 0 < chance < 0.005
+    assert g["mrr"] >= 10 * chance, (g["mrr"], chance)
+    curve = g["epoch_metrics"]
+    assert len(curve) == g["config"]["epochs"]
+    assert curve[-1]["mrr"] > 10 * chance
+    assert g["topk_acc"] == sorted(g["topk_acc"])

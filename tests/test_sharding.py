@@ -178,3 +178,47 @@ def test_multihost_helpers_single_process():
     assert g["x"].sharding == ref["x"].sharding
 
     assert multihost.process_shard(8) == slice(0, 8)
+
+
+def test_pix2pix_dp_matches_single_device(rng):
+    """GAN data parallelism: a Pix2Pix train step over the 8-device mesh
+    (states replicated, batch dim-0-sharded, GSPMD all-reduces both
+    gradient sets AND the BatchNorm batch stats) produces the same losses
+    and updated parameters as the single-device step."""
+    from art_sbir_tpu.train.gan import Pix2Pix, Pix2PixConfig
+
+    cfg = Pix2PixConfig(image_size=32, ngf=8, ndf=8)
+    batch = {
+        "A": rng.random((8, 32, 32, 3)).astype(np.float32),
+        "B": rng.random((8, 32, 32, 1)).astype(np.float32),
+    }
+
+    single = Pix2Pix(cfg, jax.random.key(0))
+    dp = Pix2Pix(cfg, jax.random.key(0), mesh=data_mesh(8))
+
+    for step_key in (1, 2):
+        l1 = single.train_step(batch, jax.random.key(step_key))
+        l2 = dp.train_step(batch, jax.random.key(step_key))
+        for k in l1:
+            assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-5,
+                                                 abs=1e-6), k
+
+    # params: sharded reductions (grad + BN batch-stat all-reduces) change
+    # f32 accumulation order; Adam's per-param normalization turns ~1-ulp
+    # gradient noise into up to ~2*lr of update drift. Bound by a few
+    # Adam-step magnitudes (lr=1e-5, 2 steps).
+    for a, b in zip(jax.tree_util.tree_leaves((single.g.params,
+                                               single.d.params,
+                                               single.g.batch_stats)),
+                    jax.tree_util.tree_leaves((dp.g.params, dp.d.params,
+                                               dp.g.batch_stats))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-5)
+
+    # ragged batch (5 rows over 8 devices) falls back to replicated
+    # placement — still exact
+    ragged = {k: v[:5] for k, v in batch.items()}
+    l1 = single.eval_losses(ragged)
+    l2 = dp.eval_losses(ragged)
+    for k in l1:
+        assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-5), k
