@@ -190,6 +190,7 @@ def run_generative(preset_name: str, workdir: Path) -> dict:
     from art_sbir_tpu.data.synthetic import make_synthetic_sketchy
 
     preset = GENERATIVE_PRESETS[preset_name]
+    workdir = workdir.resolve()  # survive the chdir below
     workdir.mkdir(parents=True, exist_ok=True)
     root = make_synthetic_sketchy(workdir / "sketchy", **preset["corpus"])
 

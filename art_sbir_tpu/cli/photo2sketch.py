@@ -55,6 +55,10 @@ def main(argv=None) -> None:
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--model", type=str, default=None, help="orbax warm start")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 VGG-encoder compute (measured 1.4x step "
+                        "throughput; decoder/GMM/losses stay f32); OFF by "
+                        "default = reference f32 semantics")
     args = p.parse_args(argv)
 
     cfg = VAEConfig(
@@ -64,6 +68,7 @@ def main(argv=None) -> None:
         kl_weight=args.kl_weight, kl_weight_start=args.kl_weight_start,
         kl_decay_rate=args.kl_decay_rate, kl_tolerance=args.kl_tolerance,
         grad_clip=args.grad_clip, image_size=args.image_size,
+        bf16_encoder=args.bf16,
     )
     trainer = VAETrainer(cfg, jax.random.key(args.seed))
     if args.model:

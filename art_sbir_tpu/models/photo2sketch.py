@@ -45,22 +45,41 @@ class EncoderCNN(nn.Module):
 
 class AttentionCell2D(nn.Module):
     """tanh(conv_f(feat) + W_h h) -> 1-logit softmax over HW positions ->
-    weighted sum of the raw features (reference `models.py:148-181`)."""
+    weighted sum of the raw features (reference `models.py:148-181`).
+
+    ``conv_f(feat)`` is loop-invariant across decoder timesteps (the
+    reference recomputes it inside its per-step python loop,
+    `models.py:159-166` — ~101x redundant conv work); :meth:`embed` hoists
+    it so the scan body only pays the per-step Dense/softmax math. The
+    split is bitwise-neutral: the same conv output is reused, so losses
+    and goldens are unchanged."""
 
     embedding_size: int = 256
 
-    @nn.compact
-    def __call__(self, feat: jax.Array, h: jax.Array):
+    def setup(self):
+        self.conv_f = nn.Conv(self.embedding_size, (3, 3),
+                              padding=[(1, 1), (1, 1)])
+        self.conv_h = nn.Dense(self.embedding_size)
+        self.conv_att = nn.Dense(1)
+
+    def embed(self, feat: jax.Array):
+        """Precompute the per-feature embedding + flat tokens ONCE."""
         b, fh, fw, c = feat.shape
-        x_em = nn.Conv(self.embedding_size, (3, 3), padding=[(1, 1), (1, 1)],
-                       name="conv_f")(feat)
-        x_em = x_em.reshape(b, fh * fw, self.embedding_size)
-        g_em = nn.Dense(self.embedding_size, name="conv_h")(h)[:, None, :]
-        scores = nn.Dense(1, name="conv_att")(jnp.tanh(x_em + g_em))  # (B, HW, 1)
-        alpha = jax.nn.softmax(scores, axis=1)
+        x_em = self.conv_f(feat).reshape(b, fh * fw, self.embedding_size)
         tokens = feat.reshape(b, fh * fw, c)
+        return x_em, tokens
+
+    def attend(self, x_em: jax.Array, tokens: jax.Array, h: jax.Array):
+        """One timestep: additive scores against h, softmax, weighted sum."""
+        g_em = self.conv_h(h)[:, None, :]
+        scores = self.conv_att(jnp.tanh(x_em + g_em))  # (B, HW, 1)
+        alpha = jax.nn.softmax(scores, axis=1)
         att = jnp.sum(alpha * tokens, axis=1)  # (B, C)
         return att, alpha[..., 0]
+
+    def __call__(self, feat: jax.Array, h: jax.Array):
+        x_em, tokens = self.embed(feat)
+        return self.attend(x_em, tokens, h)
 
 
 class DecoderRNN2D(nn.Module):
@@ -80,9 +99,9 @@ class DecoderRNN2D(nn.Module):
         h, c = jnp.split(hc, 2, axis=-1)
         return h, c
 
-    def _step(self, carry, stroke, feat):
+    def _step(self, carry, stroke, x_em, tokens):
         h, c = carry
-        att, alpha = self.attention(feat, h)
+        att, alpha = self.attention.attend(x_em, tokens, h)
         inp = jnp.concatenate([att, stroke], axis=-1)
         (h, c), out = self.lstm((h, c), inp)
         return (h, c), out, alpha
@@ -100,9 +119,10 @@ class DecoderRNN2D(nn.Module):
         start = jnp.tile(jnp.asarray(START_TOKEN, sketch.dtype), (b, 1, 1))
         inputs = jnp.concatenate([start, sketch], axis=1)  # (B, T+1, 5)
         carry = self._init_state(z)
+        x_em, tokens = self.attention.embed(feat)  # hoisted out of the scan
 
         _, hiddens = nn.scan(
-            lambda mdl, c, x: mdl._scan_body(c, x, feat),
+            lambda mdl, c, x: mdl._scan_body(c, x, x_em, tokens),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
@@ -111,8 +131,8 @@ class DecoderRNN2D(nn.Module):
         y = self.fc_params(hiddens)  # (B, T+1, 6M+3)
         return split_decoder_output(y, self.num_mixture)
 
-    def _scan_body(self, carry, x, feat):
-        carry, out, _ = self._step(carry, x, feat)
+    def _scan_body(self, carry, x, x_em, tokens):
+        carry, out, _ = self._step(carry, x, x_em, tokens)
         return carry, out
 
     def generate(self, feat: jax.Array, z: jax.Array, num_steps: int):
@@ -122,9 +142,10 @@ class DecoderRNN2D(nn.Module):
         b = z.shape[0]
         carry = self._init_state(z)
         start = jnp.tile(jnp.asarray(START_TOKEN, jnp.float32), (b, 1))
+        x_em, tokens = self.attention.embed(feat)  # hoisted out of the scan
 
         _, (strokes, alphas) = nn.scan(
-            lambda mdl, s, x: mdl._gen_body(s, feat),
+            lambda mdl, s, x: mdl._gen_body(s, x_em, tokens),
             variable_broadcast="params",
             split_rngs={"params": False},
             length=num_steps,
@@ -132,10 +153,10 @@ class DecoderRNN2D(nn.Module):
         )(self, (carry, start), None)
         return strokes, alphas
 
-    def _gen_body(self, state, feat):
+    def _gen_body(self, state, x_em, tokens):
         carry, stroke = state
         b = stroke.shape[0]
-        carry, out, alpha = self._step(carry, stroke, feat)
+        carry, out, alpha = self._step(carry, stroke, x_em, tokens)
         params = split_decoder_output(self.fc_params(out), self.num_mixture)
         pi_idx = jnp.argmax(params.log_pi, axis=-1)
         take = lambda m: jnp.take_along_axis(m, pi_idx[:, None], -1)[:, 0]

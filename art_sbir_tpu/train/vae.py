@@ -49,6 +49,10 @@ class VAEConfig:
     grad_clip: float = 1.0
     use_mask: bool = False  # reference trains with the unmasked loss
     image_size: int = 256
+    # opt-in: bfloat16 compute for the VGG image encoder (the train step's
+    # FLOPs-dominant stage); the LSTM decoder, GMM heads, and losses stay
+    # f32 (recurrent/logsumexp numerics). Params are f32 either way.
+    bf16_encoder: bool = False
 
 
 def _lr_schedule(cfg: VAEConfig):
@@ -72,6 +76,7 @@ class VAETrainer:
         self.model = Photo2Sketch(
             z_size=cfg.z_size, dec_rnn_size=cfg.dec_rnn_size,
             num_mixture=cfg.num_mixture, max_seq_len=cfg.max_seq_len,
+            dtype=jnp.bfloat16 if cfg.bf16_encoder else jnp.float32,
         )
         s = cfg.image_size
         img = jnp.zeros((1, s, s, 3), jnp.float32)

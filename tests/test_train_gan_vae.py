@@ -142,3 +142,31 @@ def test_pix2pix_bf16_mixed_precision(rng):
     # one-step-trained nets, tanh outputs in [-1, 1]: bf16 quantization
     # noise accumulated over the net stays small
     assert np.abs(out32 - outbf).mean() < 0.05
+
+
+def test_vae_bf16_encoder_tracks_f32(rng):
+    """--bf16 VAE mode: VGG encoder computes in bfloat16, decoder/GMM/loss
+    stay f32; params f32 with identical init; one train step's losses track
+    the f32 step to bf16 tolerance."""
+    from art_sbir_tpu.train.vae import VAEConfig, VAETrainer
+
+    mk = lambda bf: VAETrainer(
+        VAEConfig(z_size=8, dec_rnn_size=16, num_mixture=3, max_seq_len=12,
+                  image_size=64, bf16_encoder=bf), jax.random.key(0))
+    t32, tbf = mk(False), mk(True)
+    for a, b in zip(jax.tree_util.tree_leaves(t32.state.params),
+                    jax.tree_util.tree_leaves(tbf.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.dtype == np.float32
+
+    batch = {
+        "photo": jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32)),
+        "sketch_vector": jnp.asarray(
+            rng.random((2, 12, 5)).astype(np.float32)),
+    }
+    l32 = t32.train_step(batch, jax.random.key(1))
+    lbf = tbf.train_step(batch, jax.random.key(1))
+    for k in l32:
+        assert np.isfinite(float(lbf[k])), k
+        assert float(lbf[k]) == pytest.approx(float(l32[k]), rel=0.05,
+                                              abs=0.02), k
