@@ -59,6 +59,9 @@ def main(argv=None) -> None:
                    help="bfloat16 VGG-encoder compute (measured 1.4x step "
                         "throughput; decoder/GMM/losses stay f32); OFF by "
                         "default = reference f32 semantics")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel devices over the ICI mesh (0 = "
+                        "single device)")
     args = p.parse_args(argv)
 
     cfg = VAEConfig(
@@ -70,7 +73,13 @@ def main(argv=None) -> None:
         grad_clip=args.grad_clip, image_size=args.image_size,
         bf16_encoder=args.bf16,
     )
-    trainer = VAETrainer(cfg, jax.random.key(args.seed))
+    mesh = None
+    if args.n_devices > 1:
+        from art_sbir_tpu.parallel import data_mesh
+
+        mesh = data_mesh(args.n_devices)
+        print(f"data mesh: {mesh.devices.size} devices", flush=True)
+    trainer = VAETrainer(cfg, jax.random.key(args.seed), mesh=mesh)
     if args.model:
         restored = load_pytree(args.model, {"params": trainer.state.params})
         trainer.state = trainer.state.replace(params=restored["params"])

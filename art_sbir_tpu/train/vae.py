@@ -71,8 +71,14 @@ def kl_weight_at(cfg: VAEConfig, step) -> jax.Array:
 
 
 class VAETrainer:
-    def __init__(self, cfg: VAEConfig, rng: jax.Array):
+    """With a ``mesh`` (1-D data mesh), the parameter state replicates,
+    batches shard on dim 0, and GSPMD all-reduces the gradients over ICI —
+    same discipline as the triplet and GAN trainers
+    (``tests/test_sharding.py::test_vae_dp_matches_single_device``)."""
+
+    def __init__(self, cfg: VAEConfig, rng: jax.Array, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.model = Photo2Sketch(
             z_size=cfg.z_size, dec_rnn_size=cfg.dec_rnn_size,
             num_mixture=cfg.num_mixture, max_seq_len=cfg.max_seq_len,
@@ -94,8 +100,27 @@ class VAETrainer:
             apply_fn=self.model.apply,
             tx=tx,
         )
+        if mesh is not None:
+            from art_sbir_tpu.parallel import replicated
+
+            self.state = jax.device_put(self.state, replicated(mesh))
         self._train = jax.jit(self._train_step)
         self._eval = jax.jit(self._eval_step)
+
+    def _shard(self, batch: Dict) -> Dict:
+        """Dim-0-shard array leaves over the data mesh (no-op without one);
+        ragged batches fall back to replicated placement, staying exact."""
+        if self.mesh is None:
+            return batch
+        import numpy as np
+
+        from art_sbir_tpu.parallel import replicated, shard_batch
+
+        n = self.mesh.devices.size
+        if any(np.asarray(v).shape[0] % n
+               for v in batch.values() if hasattr(v, "ndim")):
+            return jax.device_put(batch, replicated(self.mesh))
+        return shard_batch(self.mesh, batch)
 
     def _losses(self, params, batch: Dict, rng: jax.Array, step) -> Tuple:
         cfg = self.cfg
@@ -125,11 +150,11 @@ class VAETrainer:
         return losses
 
     def train_step(self, batch: Dict, rng: jax.Array) -> Dict:
-        self.state, losses = self._train(self.state, batch, rng)
+        self.state, losses = self._train(self.state, self._shard(batch), rng)
         return losses
 
     def eval_step(self, batch: Dict, rng: jax.Array) -> Dict:
-        return self._eval(self.state, batch, rng)
+        return self._eval(self.state, self._shard(batch), rng)
 
     def generate(self, photos: jax.Array, rng: jax.Array, num_steps: int = 101):
         """Greedy decode for sample sheets (reference

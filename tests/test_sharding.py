@@ -222,3 +222,32 @@ def test_pix2pix_dp_matches_single_device(rng):
     l2 = dp.eval_losses(ragged)
     for k in l1:
         assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-5), k
+
+
+def test_vae_dp_matches_single_device(rng):
+    """VAE data parallelism: the Photo2Sketch train step over the 8-device
+    mesh equals the single-device step (losses tight; reparameterization
+    noise is generated for the LOGICAL batch shape, so sharding does not
+    change the sample)."""
+    from art_sbir_tpu.train.vae import VAEConfig, VAETrainer
+
+    cfg = VAEConfig(z_size=8, dec_rnn_size=16, num_mixture=3, max_seq_len=10,
+                    image_size=32)
+    batch = {
+        "photo": rng.random((8, 32, 32, 3)).astype(np.float32),
+        "sketch_vector": rng.random((8, 10, 5)).astype(np.float32),
+    }
+    single = VAETrainer(cfg, jax.random.key(0))
+    dp = VAETrainer(cfg, jax.random.key(0), mesh=data_mesh(8))
+    for step_key in (1, 2):
+        l1 = single.train_step(batch, jax.random.key(step_key))
+        l2 = dp.train_step(batch, jax.random.key(step_key))
+        for k in l1:
+            assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-5,
+                                                 abs=1e-6), k
+    # ragged eval batch -> replicated fallback, still exact
+    ragged = {k: v[:5] for k, v in batch.items()}
+    l1 = single.eval_step(ragged, jax.random.key(9))
+    l2 = dp.eval_step(ragged, jax.random.key(9))
+    for k in l1:
+        assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-5), k
