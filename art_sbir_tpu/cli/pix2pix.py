@@ -121,14 +121,18 @@ def main(argv=None) -> None:
                 decode_image(it.get("A", it.get("image")), args.image_size)
                 for it in items
             ]).astype(np.float32) / 255.0
-            batch = {"A": jnp.asarray(a),
+            # keep host arrays under a mesh: Pix2Pix._shard device_puts
+            # them with the dim-0 sharding (jnp conversion here would pay a
+            # device->host roundtrip per batch)
+            to_dev = (lambda x: x) if mesh is not None else jnp.asarray
+            batch = {"A": to_dev(a),
                      "paths": [str(it.get("A", it.get("image"))) for it in items]}
             if "B" in items[0]:
                 b = np.stack([
                     decode_image(it["B"], args.image_size, grayscale=True)
                     for it in items
                 ]).astype(np.float32) / 255.0
-                batch["B"] = jnp.asarray(b)
+                batch["B"] = to_dev(b)
             yield batch
 
     rng = np.random.default_rng(args.seed)

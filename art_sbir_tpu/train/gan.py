@@ -94,8 +94,8 @@ class Pix2Pix:
     def _shard(self, batch: Dict) -> Dict:
         """Dim-0-shard array leaves over the data mesh (no-op without one).
         Ragged batches (dim 0 not divisible by the mesh) are placed
-        replicated instead — correct, just redundantly computed; the CLI
-        tiles train batches to the lcm so the hot loop always shards."""
+        replicated instead — correct (bit-identical to single-device),
+        just redundantly computed; only the corpus tail is ever ragged."""
         if self.mesh is None:
             return batch
         from art_sbir_tpu.parallel import replicated, shard_batch
