@@ -106,6 +106,8 @@ def main(argv=None) -> None:
                         "instead of unrelated noise")
     p.add_argument("--root", type=str, default="data")
     args = p.parse_args(argv)
+    if args.learnable and not args.synthetic:
+        p.error("--learnable only applies to --synthetic corpora")
 
     root = Path(args.root)
     if args.synthetic:

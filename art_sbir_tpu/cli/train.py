@@ -281,6 +281,7 @@ def main(argv=None) -> Path:
                     fwd, test_cat, None, args.loss_type,
                     image_size=args.image_size, resize_mode=resize_mode,
                     model_name=type(model).__name__, mesh=mesh,
+                    save_features=False,  # transient per-epoch eval
                 )
                 stats = d.get("drawing_stats", d)
                 return {

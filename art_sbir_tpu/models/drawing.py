@@ -13,8 +13,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from art_sbir_tpu.models.layers import ConvTranspose, instance_norm, reflect_pad
-from .layers import BN_MOMENTUM
+from art_sbir_tpu.models.layers import (BN_MOMENTUM, ConvTranspose,
+                                         instance_norm, reflect_pad)
 
 
 class _ResBlock(nn.Module):

@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from .layers import BN_MOMENTUM
+from art_sbir_tpu.models.layers import BN_MOMENTUM
 
 
 class BasicConv2d(nn.Module):

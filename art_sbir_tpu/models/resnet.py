@@ -27,7 +27,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from .layers import BN_MOMENTUM
+from art_sbir_tpu.models.layers import BN_MOMENTUM
 
 Dtype = Any
 

@@ -85,10 +85,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
-    """Device-put a pytree of host arrays with dim-0 sharded over the mesh."""
+    """Device-put a pytree of arrays with dim-0 sharded over the mesh.
+
+    Host numpy arrays upload directly into the sharded layout; arrays
+    already on device reshard device-side (``jax.device_put`` to the new
+    sharding) — no host roundtrip."""
 
     def _put(x):
-        x = np.asarray(x)
+        if not hasattr(x, "ndim"):
+            x = np.asarray(x)
         return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
 
     return jax.tree_util.tree_map(_put, batch)

@@ -38,6 +38,7 @@ def run_inference(
     model_name: str = "ModifiedResNet",
     feature_root: Path | str = Path("data/image_features"),
     kaggle_queries=None,
+    save_features: bool = True,
 ) -> Dict:
     """``forward_fn`` maps a uint8 (B, S, S, 3) device batch to (B, D)
     embeddings (preprocessing fused inside). ``dataset`` is a test catalog
@@ -59,10 +60,13 @@ def run_inference(
         loader = GalleryLoader(image_paths, image_size, resize_mode)
         gallery = embed_batched(forward_fn, loader, len(loader), batch_size,
                                 mesh=mesh)
+        # save_features=False for transient evals (e.g. the per-epoch
+        # retrieval hook) that would otherwise litter feature_root with a
+        # timestamped folder per call
         feature_name = save_image_features(
             model_name, dataset.state_dict["dataset"], image_paths, gallery,
             root=feature_root,
-        )
+        ) if save_features else None
 
     def _eval(catalog) -> Dict:
         qloader = GalleryLoader(catalog.sketch_paths, image_size, resize_mode)

@@ -90,6 +90,8 @@ class Pix2Pix:
             self.d = jax.device_put(self.d, replicated(mesh))
         self._train_step = jax.jit(self._step, static_argnames=("decoder_only",))
         self._eval_step = jax.jit(self._losses_only)
+        self._gen_step = jax.jit(
+            lambda g, x: self._apply(g, g.params, x, False)[0])
 
     def _shard(self, batch: Dict) -> Dict:
         """Dim-0-shard array leaves over the data mesh (no-op without one).
@@ -101,8 +103,8 @@ class Pix2Pix:
         from art_sbir_tpu.parallel import replicated, shard_batch
 
         n = self.mesh.devices.size
-        if any(np.asarray(v).shape[0] % n
-               for v in batch.values() if hasattr(v, "ndim")):
+        if any(v.shape[0] % n
+               for v in batch.values() if hasattr(v, "shape")):
             return jax.device_put(batch, replicated(self.mesh))
         return shard_batch(self.mesh, batch)
 
@@ -218,6 +220,4 @@ class Pix2Pix:
         return self._eval_step(self.g, self.d, self._shard(batch))
 
     def generate(self, real_a: jax.Array) -> jax.Array:
-        out = self._apply(self.g, self.g.params,
-                          self._shard({"A": real_a})["A"], False)
-        return out[0]
+        return self._gen_step(self.g, self._shard({"A": real_a})["A"])

@@ -112,13 +112,11 @@ class VAETrainer:
         ragged batches fall back to replicated placement, staying exact."""
         if self.mesh is None:
             return batch
-        import numpy as np
-
         from art_sbir_tpu.parallel import replicated, shard_batch
 
         n = self.mesh.devices.size
-        if any(np.asarray(v).shape[0] % n
-               for v in batch.values() if hasattr(v, "ndim")):
+        if any(v.shape[0] % n
+               for v in batch.values() if hasattr(v, "shape")):
             return jax.device_put(batch, replicated(self.mesh))
         return shard_batch(self.mesh, batch)
 
