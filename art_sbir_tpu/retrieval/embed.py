@@ -62,7 +62,10 @@ def embed_batched(
 
     # host decode of batch k+1 overlaps the device embedding of batch k —
     # the sweep is host-decode bound on real corpora (the BASELINE north
-    # star path), mirroring TripletLoader's prefetch
+    # star path), mirroring TripletLoader's prefetch. Outputs stay on
+    # device until the end: a per-batch np.asarray would be a full
+    # pipeline barrier (plus one tunnel RTT) every iteration; instead the
+    # dispatch queue runs ahead and ONE (N, D) transfer drains it.
     import concurrent.futures
 
     starts = list(range(0, n_images, batch_size))
@@ -78,8 +81,11 @@ def embed_batched(
             out = jit_apply(x)
             if isinstance(out, (tuple, list)):  # classification models
                 out = out[0]
-            feats.append(np.asarray(out[:count], np.float32))
-    return np.concatenate(feats) if feats else np.zeros((0, feature_dim or 0), np.float32)
+            feats.append(out.astype(jnp.float32))
+    if not feats:
+        return np.zeros((0, feature_dim or 0), np.float32)
+    # only the tail batch is padded, so one concat + slice is exact
+    return np.asarray(jnp.concatenate(feats)[:n_images], np.float32)
 
 
 # ------------------------------------------------------------- cache

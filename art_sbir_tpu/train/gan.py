@@ -88,7 +88,10 @@ class Pix2Pix:
 
             self.g = jax.device_put(self.g, replicated(mesh))
             self.d = jax.device_put(self.d, replicated(mesh))
-        self._train_step = jax.jit(self._step, static_argnames=("decoder_only",))
+        # donate g/d so both towers' params + Adam state update in place
+        # (the trainer always rebinds self.g/self.d from the outputs)
+        self._train_step = jax.jit(self._step, static_argnames=("decoder_only",),
+                                   donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._losses_only)
         self._gen_step = jax.jit(
             lambda g, x: self._apply(g, g.params, x, False)[0])

@@ -133,8 +133,15 @@ def _forward3(apply_fn, params, batch_stats, batch, train: bool):
     return split, new_stats
 
 
-def make_train_step(cfg: TripletLossConfig):
-    """Returns jitted train_step(state, batch) -> (state, metrics)."""
+def make_train_step(cfg: TripletLossConfig, donate: bool = True):
+    """Returns jitted train_step(state, batch) -> (state, metrics).
+
+    ``donate`` (default) donates the input state's buffers to XLA so
+    params/optimizer state update in place — halving train-state HBM
+    residency, matching the in-place semantics of the reference's torch
+    optimizer step (reference `train.py:85-90`). Pass ``donate=False``
+    when the input state must stay alive after the call (e.g. branching
+    two runs from one init, as the DP-equivalence tests do)."""
 
     def loss_fn(params, state: TrainState, batch):
         (s, p, n), new_stats = _forward3(
@@ -145,14 +152,13 @@ def make_train_step(cfg: TripletLossConfig):
         )
         return losses["loss"], (losses, new_stats)
 
-    @jax.jit
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_stats)), grads = grad_fn(state.params, state, batch)
         state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         return state, losses
 
-    return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(cfg: TripletLossConfig):

@@ -104,7 +104,9 @@ class VAETrainer:
             from art_sbir_tpu.parallel import replicated
 
             self.state = jax.device_put(self.state, replicated(mesh))
-        self._train = jax.jit(self._train_step)
+        # donate the train state: params/Adam state update in place
+        # (train_step always rebinds self.state from the output)
+        self._train = jax.jit(self._train_step, donate_argnums=(0,))
         self._eval = jax.jit(self._eval_step)
 
     def _shard(self, batch: Dict) -> Dict:

@@ -42,7 +42,8 @@ def test_dp_train_step_matches_single_device(rng):
     # and amplifies fp-reassociation noise on near-zero grads to +-lr)
     state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3),
                                tx=optax.sgd(1.0))
-    step = make_train_step(TripletLossConfig())
+    # donate=False: the same initial state is run through two branches
+    step = make_train_step(TripletLossConfig(), donate=False)
 
     mk = lambda: rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
     host_batch = {"sketch": mk(), "positive": mk(), "negative": mk()}

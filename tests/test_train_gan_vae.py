@@ -52,8 +52,10 @@ def test_pix2pix_single_forward_semantics(rng):
     cfg = Pix2PixConfig(image_size=64, ngf=8, ndf=8, use_dropout=True)
     model = Pix2Pix(cfg, jax.random.key(0))
     batch = _gan_batch(rng)
-    g0_params = model.g.params
-    g0_stats = model.g.batch_stats
+    # explicit copies: train_step donates g/d, deleting the originals
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    g0_params = copy(model.g.params)
+    g0_stats = copy(model.g.batch_stats)
     step_rng = jax.random.key(7)
     model.train_step(batch, step_rng)
     _, expected_stats = model.net_g.apply(
