@@ -142,8 +142,7 @@ def main(argv=None) -> None:
             losses = trainer.train_step(
                 batch, jax.random.key(int(rng.integers(2**31)))
             )
-            train_tracker.add({k: float(v) for k, v in losses.items()},
-                              args.batchsize)
+            train_tracker.add(losses, args.batchsize)  # lazy, no per-step sync
             n += 1
         train_tracker.append(dict(train_tracker.sums), max(n, 1))
         print(
@@ -158,8 +157,7 @@ def main(argv=None) -> None:
         n = 0
         for batch in batches(test_cat, False, rng):
             losses = trainer.eval_step(batch, jax.random.key(0))
-            test_tracker.add({k: float(v) for k, v in losses.items()},
-                             args.batchsize)
+            test_tracker.add(losses, args.batchsize)  # lazy, no per-step sync
             n += 1
         test_tracker.append(dict(test_tracker.sums), max(n, 1))
 

@@ -174,7 +174,7 @@ def main(argv=None) -> None:
                     jax.random.key(int(rng.integers(2**31))),
                     decoder_only=(epoch == 0),  # reference warmup epoch
                 )
-                tracker.add({k: float(v) for k, v in losses.items()})
+                tracker.add(losses)  # lazy: device scalars, no per-step sync
                 n += 1
             tracker.append({k: v for k, v in tracker.sums.items()}, max(n, 1))
             print(f"Epoch {epoch + 1}: " + ", ".join(

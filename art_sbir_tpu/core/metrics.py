@@ -24,8 +24,13 @@ class LossTracker:
         self.series: Dict[str, List[float]] = {k: [] for k in keys}
 
     def add(self, losses: Dict[str, float], size: int = 1) -> None:
+        """Accumulate WITHOUT a host sync: device scalars stay lazy
+        (`0.0 + jax scalar` dispatches an add), so per-step tracking does
+        not serialize the device pipeline — one RTT per loss key per step
+        through the axon tunnel would otherwise dominate small steps.
+        ``append``/host reads pay the sync once per logging window."""
         for k in self.sums:
-            self.sums[k] += float(losses[k]) / size
+            self.sums[k] = self.sums[k] + losses[k] / size
 
     def append(self, losses: Dict[str, float], size: int = 1) -> None:
         for k in self.series:
