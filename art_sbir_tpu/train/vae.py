@@ -107,6 +107,7 @@ class VAETrainer:
         # donate the train state: params/Adam state update in place
         # (train_step always rebinds self.state from the output)
         self._train = jax.jit(self._train_step, donate_argnums=(0,))
+        self._generate = None  # lazily jitted in generate()
         self._eval = jax.jit(self._eval_step)
 
     def _shard(self, batch: Dict) -> Dict:
@@ -158,8 +159,12 @@ class VAETrainer:
 
     def generate(self, photos: jax.Array, rng: jax.Array, num_steps: int = 101):
         """Greedy decode for sample sheets (reference
-        `semiSupervised_main.py:138-182`)."""
-        return self.model.apply(
-            {"params": self.state.params}, photos, rng, num_steps,
-            method=self.model.generate,
-        )
+        `semiSupervised_main.py:138-182`). Jitted — the scan decoder is
+        hundreds of tiny ops that eager dispatch serializes."""
+        if self._generate is None:
+            self._generate = jax.jit(
+                lambda params, p, r, n: self.model.apply(
+                    {"params": params}, p, r, n, method=self.model.generate),
+                static_argnums=3,
+            )
+        return self._generate(self.state.params, photos, rng, num_steps)
