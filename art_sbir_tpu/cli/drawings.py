@@ -95,10 +95,7 @@ def main(argv=None) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     from art_sbir_tpu.data.loader import decode_paths
 
-    for s in range(0, len(paths), args.batch_size):
-        chunk = paths[s : s + args.batch_size]
-        x = decode_paths(chunk, args.image_size)  # native batch decode
-        out = np.asarray(fwd(jnp.asarray(x, jnp.float32) / 255.0))
+    def write(out: np.ndarray, chunk) -> None:
         for img, path in zip(out, chunk):
             dest = out_dir
             if args.corpus == "sketchy":
@@ -107,6 +104,30 @@ def main(argv=None) -> None:
             Image.fromarray((img[..., 0] * 255).astype(np.uint8), mode="L").save(
                 dest / f"{Path(path).stem}.png"
             )
+
+    # three-stage overlap: decode(k+1) on the prefetch thread, generator
+    # forward of k on device, PNG write of k-1 on this thread — the device
+    # pull trails one batch so the dispatch queue never drains
+    import concurrent.futures
+
+    def fetch(s: int):
+        chunk = paths[s : s + args.batch_size]
+        return chunk, decode_paths(chunk, args.image_size)  # native decode
+
+    starts = list(range(0, len(paths), args.batch_size))
+    pending = None  # (device output, chunk)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        future = pool.submit(fetch, starts[0]) if starts else None
+        for i, _ in enumerate(starts):
+            chunk, x = future.result()
+            future = (pool.submit(fetch, starts[i + 1])
+                      if i + 1 < len(starts) else None)
+            out_dev = fwd(jnp.asarray(x, jnp.float32) / 255.0)
+            if pending is not None:
+                write(np.asarray(pending[0]), pending[1])
+            pending = (out_dev, chunk)
+        if pending is not None:
+            write(np.asarray(pending[0]), pending[1])
     print(f"{len(paths)} drawings written to {out_dir}", flush=True)
 
 
