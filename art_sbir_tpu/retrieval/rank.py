@@ -110,9 +110,9 @@ def evaluate_retrieval(
     use_fused = (loss_type in ("euclidean", "cosine")
                  and n_gallery >= FUSED_GALLERY_THRESHOLD
                  and k_eff <= 128)
-    ranks = np.zeros(len(sketch_paths), np.int64)
-    topk_idx = np.zeros((len(sketch_paths), k_eff), np.int64)
-    topk_val = np.zeros((len(sketch_paths), k_eff), np.float32)
+    # per-chunk results stay on device; ONE host drain after the loop so
+    # chunk dispatch pipelines instead of paying a transfer barrier each
+    rs, vs, idxs = [], [], []
 
     for s in range(0, len(sketch_paths), query_chunk):
         e = min(s + query_chunk, len(sketch_paths))
@@ -134,9 +134,18 @@ def evaluate_retrieval(
             v = jnp.sqrt(v2) if loss_type == "euclidean" else v2
         else:
             r, v, i = retrieve(q, gal, p, k=k_eff, metric=loss_type)
-        ranks[s:e] = np.asarray(r)
-        topk_val[s:e] = np.asarray(v)
-        topk_idx[s:e] = np.asarray(i)
+        rs.append(r)
+        vs.append(v)
+        idxs.append(i)
+
+    if rs:
+        ranks = np.asarray(jnp.concatenate(rs)).astype(np.int64)
+        topk_val = np.asarray(jnp.concatenate(vs), np.float32)
+        topk_idx = np.asarray(jnp.concatenate(idxs)).astype(np.int64)
+    else:
+        ranks = np.zeros(0, np.int64)
+        topk_val = np.zeros((0, k_eff), np.float32)
+        topk_idx = np.zeros((0, k_eff), np.int64)
 
     ranks[missing] = n_gallery  # reference returns len(image_paths)
 
