@@ -32,12 +32,16 @@ def embed_batched(
     batch_size: int = 256,
     mesh=None,
     feature_dim: Optional[int] = None,
+    return_device: bool = False,
 ) -> np.ndarray:
     """Embed ``n_images`` through a jitted encoder in fixed-shape batches.
 
     ``images`` is either an (N, H, W, C) array or a loader callable
     ``(start, count) -> (count, H, W, C)`` (host pipeline). The tail batch is
-    padded to keep one compiled program. Returns (N, D) float32 on host.
+    padded to keep one compiled program. Returns (N, D) float32 on host —
+    or the HBM-resident device array with ``return_device`` (retrieval
+    consumes the matrix on device; skipping the host roundtrip saves two
+    (N, D) transfers per corpus sweep).
     """
     if not callable(images):
         arr = images
@@ -83,9 +87,11 @@ def embed_batched(
                 out = out[0]
             feats.append(out.astype(jnp.float32))
     if not feats:
-        return np.zeros((0, feature_dim or 0), np.float32)
+        empty = np.zeros((0, feature_dim or 0), np.float32)
+        return jnp.asarray(empty) if return_device else empty
     # only the tail batch is padded, so one concat + slice is exact
-    return np.asarray(jnp.concatenate(feats)[:n_images], np.float32)
+    full = jnp.concatenate(feats)[:n_images]
+    return full if return_device else np.asarray(full, np.float32)
 
 
 # ------------------------------------------------------------- cache

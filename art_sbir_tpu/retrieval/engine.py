@@ -58,22 +58,24 @@ def run_inference(
         inference_catalog = InferenceCatalog(dataset.photo_paths)
         image_paths = inference_catalog.image_paths
         loader = GalleryLoader(image_paths, image_size, resize_mode)
+        # device-resident: retrieval consumes the matrix in HBM; only the
+        # feature cache needs a host copy
         gallery = embed_batched(forward_fn, loader, len(loader), batch_size,
-                                mesh=mesh)
+                                mesh=mesh, return_device=True)
         # save_features=False for transient evals (e.g. the per-epoch
         # retrieval hook) that would otherwise litter feature_root with a
         # timestamped folder per call
         feature_name = save_image_features(
-            model_name, dataset.state_dict["dataset"], image_paths, gallery,
-            root=feature_root,
+            model_name, dataset.state_dict["dataset"], image_paths,
+            np.asarray(gallery, np.float32), root=feature_root,
         ) if save_features else None
 
     def _eval(catalog) -> Dict:
         qloader = GalleryLoader(catalog.sketch_paths, image_size, resize_mode)
         queries = embed_batched(forward_fn, qloader, len(qloader), batch_size,
-                                mesh=mesh)
+                                mesh=mesh, return_device=True)
         return evaluate_retrieval(
-            queries, np.asarray(gallery, np.float32), catalog.sketch_paths,
+            queries, gallery, catalog.sketch_paths,
             image_paths, loss_type=loss_type, start_time=timer.elapsed(),
             mesh=mesh,
         )
