@@ -194,3 +194,48 @@ def test_evaluate_retrieval_sharded_fused_matches_xla(rng, monkeypatch):
     assert got["mean_reciprocal_rank"] == ref["mean_reciprocal_rank"]
     assert got["topk_acc"] == ref["topk_acc"]
     assert got["mean"] == ref["mean"]
+
+
+def test_evaluate_retrieval_chunking_invariant(rng):
+    """The device-side result accumulation must make query_chunk purely a
+    memory knob: chunked and single-shot sweeps agree exactly."""
+    d, n, q = 8, 30, 11
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    image_paths = [f"g/{i}.jpg" for i in range(n)]
+    sketch_paths = [f"s/{i % n}-1.png" for i in range(q)]
+
+    one = R.evaluate_retrieval(queries, gal, sketch_paths, image_paths, k=5,
+                               query_chunk=1024)
+    many = R.evaluate_retrieval(queries, gal, sketch_paths, image_paths, k=5,
+                                query_chunk=3)  # 4 ragged chunks
+    for key in ("mean_reciprocal_rank", "mean", "count"):
+        np.testing.assert_allclose(one[key], many[key])
+    np.testing.assert_allclose(one["topk_acc"], many["topk_acc"])
+    assert one["retrieval_samples"] == many["retrieval_samples"]
+
+
+def test_embed_batched_return_device_matches_host(rng):
+    import jax.numpy as jnp
+
+    imgs = rng.standard_normal((10, 4, 4, 1)).astype(np.float32)
+    f = lambda x: jnp.mean(x, axis=(1, 2))  # (B, 1) embedding
+    host = E.embed_batched(f, imgs, batch_size=4)
+    dev = E.embed_batched(f, imgs, batch_size=4, return_device=True)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+
+def test_loss_tracker_lazy_device_scalars():
+    """add() must not sync: sums stay lazy jax scalars; append() floats."""
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.core.metrics import LossTracker
+
+    tr = LossTracker(["a"])
+    for i in range(3):
+        tr.add({"a": jnp.asarray(float(i))})
+    assert isinstance(tr.sums["a"], jax.Array)  # still on device
+    tr.append(dict(tr.sums), 3)
+    assert isinstance(tr.series["a"][-1], float)
+    np.testing.assert_allclose(tr.series["a"][-1], (0 + 1 + 2) / 3)
