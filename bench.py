@@ -236,6 +236,44 @@ def bench_reference_loop(gallery: np.ndarray, queries: np.ndarray) -> float:
     return BASELINE_QUERIES / dt
 
 
+def bench_embed_sweep() -> None:
+    """Diagnostic: the production `embed_batched` sweep end-to-end (host
+    uint8 -> device-resident (N, D) -> one drain), in-memory 2,048-image
+    gallery. This is the path run_inference drives; it includes the
+    host->device uploads the pure-device encoder number excludes."""
+    import time
+
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.models.resnet import ModifiedResNet
+    from art_sbir_tpu.ops.resize import CLIP_MEAN, CLIP_STD, normalize
+    from art_sbir_tpu.retrieval.embed import embed_batched
+
+    import jax
+
+    model = ModifiedResNet(dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.key(0), jnp.zeros((8, 224, 224, 3), jnp.float32),
+        train=False,
+    )
+
+    def forward(u8):
+        f = normalize(u8.astype(jnp.bfloat16) / 255.0, CLIP_MEAN, CLIP_STD)
+        return model.apply(variables, f, train=False)
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    imgs = rng.integers(0, 256, (n, 224, 224, 3)).astype(np.uint8)
+    _ = embed_batched(forward, imgs, batch_size=256)  # warm compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = embed_batched(forward, imgs, batch_size=256)
+        best = min(best, time.perf_counter() - t0)
+    log(f"embed sweep e2e (in-memory {n} imgs, incl. uploads): "
+        f"{best:.2f} s = {n/best:,.0f} emb/s")
+
+
 def bench_encoder(rtt: float) -> float:
     """Diagnostic: ModifiedResNet50 gallery embedding throughput (bf16).
 
@@ -313,6 +351,11 @@ def main() -> None:
             f"(bf16, batch 512, fused u8 normalize)")
     except Exception as e:  # encoder bench is diagnostic only
         log(f"encoder bench skipped: {e}")
+
+    try:
+        bench_embed_sweep()
+    except Exception as e:  # diagnostic only
+        log(f"embed sweep bench skipped: {e}")
 
     try:
         bench_fused_sharded_on_tpu()
