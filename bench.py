@@ -236,6 +236,40 @@ def bench_reference_loop(gallery: np.ndarray, queries: np.ndarray) -> float:
     return BASELINE_QUERIES / dt
 
 
+def bench_train_step(rtt: float) -> None:
+    """Diagnostic: flagship triplet train step (3x RN50 bf16 fwd+bwd +
+    torch-parity Adam in one donated XLA program), batch 32 — the recipe
+    README quotes (~48 ms/step)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.models.resnet import ModifiedResNet
+    from art_sbir_tpu.train.losses import TripletLossConfig
+    from art_sbir_tpu.train.triplet import create_train_state, make_train_step
+
+    model = ModifiedResNet(dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.key(0), (1, 224, 224, 3))
+    step = make_train_step(TripletLossConfig())
+    rng = np.random.default_rng(0)
+    batch = {
+        k: jnp.asarray(rng.standard_normal((32, 224, 224, 3)), jnp.float32)
+        for k in ("sketch", "positive", "negative")
+    }
+    state, m = step(state, batch)  # compile
+    _ = float(m["loss"])
+    reps, best = 5, float("inf")
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, m = step(state, batch)
+        _ = float(m["loss"])  # host barrier ends the chained reps
+        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9) / reps)
+    log(f"triplet train step (b32, 3x RN50 bf16 fwd+bwd + Adam, donated): "
+        f"{best*1e3:.1f} ms = {32/best:,.0f} triplets/s/chip")
+
+
 def bench_embed_sweep() -> None:
     """Diagnostic: the production `embed_batched` sweep end-to-end (host
     uint8 -> device-resident (N, D) -> one drain), in-memory 2,048-image
@@ -356,6 +390,11 @@ def main() -> None:
         bench_embed_sweep()
     except Exception as e:  # diagnostic only
         log(f"embed sweep bench skipped: {e}")
+
+    try:
+        bench_train_step(rtt)
+    except Exception as e:  # diagnostic only
+        log(f"train-step bench skipped: {e}")
 
     try:
         bench_fused_sharded_on_tpu()
