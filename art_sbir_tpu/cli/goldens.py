@@ -183,7 +183,6 @@ def run_generative(preset_name: str, workdir: Path) -> dict:
     write relative ``results/``+``models/`` trees, like the reference's
     scripts) and return its seeded loss trajectories."""
     import contextlib
-    import os
 
     import jax
 
@@ -194,16 +193,7 @@ def run_generative(preset_name: str, workdir: Path) -> dict:
     workdir.mkdir(parents=True, exist_ok=True)
     root = make_synthetic_sketchy(workdir / "sketchy", **preset["corpus"])
 
-    @contextlib.contextmanager
-    def chdir(p):
-        old = os.getcwd()
-        os.chdir(p)
-        try:
-            yield
-        finally:
-            os.chdir(old)
-
-    with chdir(workdir):
+    with contextlib.chdir(workdir):
         if preset["cli"] == "photo2sketch":
             from art_sbir_tpu.cli import photo2sketch
 

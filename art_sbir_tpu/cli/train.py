@@ -268,20 +268,27 @@ def main(argv=None) -> Path:
 
         epoch_hook = None
         if args.eval_every_epoch:
-            def epoch_hook(epoch: int, st) -> dict:
-                def fwd(images_uint8):
-                    x = finish_gallery_batch(images_uint8)
-                    out = model.apply(
-                        {"params": st.params, "batch_stats": st.batch_stats},
-                        x, train=False,
-                    )
-                    return out[0] if isinstance(out, tuple) else out
+            # jitted ONCE with params as arguments: a per-epoch closure
+            # would bake that epoch's params into the HLO as constants and
+            # recompile the eval encoder every epoch (~40 s each on this
+            # host)
+            @jax.jit
+            def _embed_eval(params, batch_stats, images_uint8):
+                x = finish_gallery_batch(images_uint8)
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, train=False,
+                )
+                return out[0] if isinstance(out, tuple) else out
 
+            def epoch_hook(epoch: int, st) -> dict:
+                fwd = lambda u8: _embed_eval(st.params, st.batch_stats, u8)
                 d = run_inference(
                     fwd, test_cat, None, args.loss_type,
                     image_size=args.image_size, resize_mode=resize_mode,
                     model_name=type(model).__name__, mesh=mesh,
                     save_features=False,  # transient per-epoch eval
+                    jit_forward=False,  # fwd already wraps a jitted call
                 )
                 stats = d.get("drawing_stats", d)
                 return {

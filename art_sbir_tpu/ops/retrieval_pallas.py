@@ -437,12 +437,18 @@ def retrieve_fused_sharded_core(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Resolve the interpret default, then dispatch to the jitted sweep
     (see :func:`_sharded_core_jit` for the algorithm)."""
-    if k > gallery.shape[0]:
+    # each chip's kernel runs top-k over only its n_local = N/devices rows,
+    # so the guard must bound k by the SHARD size, not the global N
+    ax = axis_name or mesh.axis_names[0]
+    n_local = gallery.shape[0] // max(int(mesh.shape[ax]), 1)
+    if k > n_local:
         raise ValueError(
-            f"k={k} exceeds gallery size {gallery.shape[0]}: unfilled top-k "
-            "slots would hold the sentinel and fail every row's exactness "
-            "certificate. Clamp k to min(k, len(gallery)) as "
-            "evaluate_retrieval does.")
+            f"k={k} exceeds the per-shard gallery size {n_local} "
+            f"({gallery.shape[0]} rows over {mesh.shape[ax]} devices): "
+            "unfilled per-shard top-k slots would hold the sentinel and "
+            "fail every row's exactness certificate. Clamp k to the shard "
+            "size (evaluate_retrieval clamps to the global size; shrink "
+            "the mesh axis or pad the gallery for larger k).")
     return _sharded_core_jit(
         queries, gallery, pos_idx, mesh=mesh, axis_name=axis_name, k=k,
         tile_q=tile_q, tile_n=tile_n,

@@ -15,6 +15,7 @@ from art_sbir_tpu.parallel.mesh import (
     gallery_sharding,
     replicated,
     shard_batch,
+    shard_or_replicate,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "gallery_sharding",
     "replicated",
     "shard_batch",
+    "shard_or_replicate",
 ]

@@ -99,6 +99,20 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
     return jax.tree_util.tree_map(_put, batch)
 
 
+def shard_or_replicate(mesh: Optional[Mesh], batch: dict,
+                       axis_name: str = DATA_AXIS) -> dict:
+    """Dim-0-shard a dict batch over the data mesh; a ragged batch (dim 0
+    not divisible by the device count) falls back to fully-replicated
+    placement, which stays exact — each chip redundantly computes the
+    whole batch. No-op without a mesh. Shared by the GAN/VAE trainers."""
+    if mesh is None:
+        return batch
+    n = mesh.devices.size
+    if any(v.shape[0] % n for v in batch.values() if hasattr(v, "shape")):
+        return jax.device_put(batch, replicated(mesh))
+    return shard_batch(mesh, batch, axis_name)
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of ``m`` that is >= ``n``."""
     return ((n + m - 1) // m) * m

@@ -24,6 +24,13 @@ import numpy as np
 
 from art_sbir_tpu.parallel.mesh import batch_sharding, pad_to_multiple
 
+# on the host-return path, accumulated device outputs are drained in groups
+# of roughly this many bytes: unbounded accumulation would hold the whole
+# (N, D) twice on device at 1M-gallery scale, while per-batch drains
+# barrier the dispatch pipeline (one tunnel RTT each). Module-level so the
+# suite can shrink it to exercise multi-group draining on small corpora.
+DRAIN_GROUP_BYTES = 512 << 20
+
 
 def embed_batched(
     apply_fn: Callable[[jax.Array], jax.Array],
@@ -33,6 +40,7 @@ def embed_batched(
     mesh=None,
     feature_dim: Optional[int] = None,
     return_device: bool = False,
+    jit_apply: bool = True,
 ) -> np.ndarray:
     """Embed ``n_images`` through a jitted encoder in fixed-shape batches.
 
@@ -42,6 +50,11 @@ def embed_batched(
     or the HBM-resident device array with ``return_device`` (retrieval
     consumes the matrix on device; skipping the host roundtrip saves two
     (N, D) transfers per corpus sweep).
+
+    ``jit_apply=False`` is for callers whose ``apply_fn`` already wraps a
+    jitted function with params passed as ARGUMENTS (e.g. the per-epoch
+    eval hook): re-jitting such a closure would bake that epoch's params
+    into the HLO as constants and recompile the encoder every epoch.
     """
     if not callable(images):
         arr = images
@@ -53,7 +66,7 @@ def embed_batched(
     # share one compiled forward
     batch_size = max(32, min(batch_size, pad_to_multiple(n_images, 32)))
 
-    jit_apply = jax.jit(apply_fn)
+    jit_apply = jax.jit(apply_fn) if jit_apply else apply_fn
     feats: List[np.ndarray] = []
 
     def fetch(start: int) -> Tuple[np.ndarray, int]:
@@ -73,6 +86,13 @@ def embed_batched(
     import concurrent.futures
 
     starts = list(range(0, n_images, batch_size))
+    host_parts: List[np.ndarray] = []
+    group_bytes = DRAIN_GROUP_BYTES  # see module docstring at the constant
+
+    def drain() -> None:
+        host_parts.append(np.asarray(jnp.concatenate(feats), np.float32))
+        feats.clear()
+
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         future = pool.submit(fetch, starts[0]) if starts else None
         for i, _ in enumerate(starts):
@@ -86,12 +106,19 @@ def embed_batched(
             if isinstance(out, (tuple, list)):  # classification models
                 out = out[0]
             feats.append(out.astype(jnp.float32))
-    if not feats:
+            if (not return_device
+                    and len(feats) * batch_size * out.shape[-1] * 4
+                    >= group_bytes):
+                drain()
+    if not feats and not host_parts:
         empty = np.zeros((0, feature_dim or 0), np.float32)
         return jnp.asarray(empty) if return_device else empty
-    # only the tail batch is padded, so one concat + slice is exact
-    full = jnp.concatenate(feats)[:n_images]
-    return full if return_device else np.asarray(full, np.float32)
+    if return_device:
+        # only the tail batch is padded, so one concat + slice is exact
+        return jnp.concatenate(feats)[:n_images]
+    if feats:
+        drain()
+    return np.concatenate(host_parts)[:n_images]
 
 
 # ------------------------------------------------------------- cache

@@ -39,6 +39,7 @@ def run_inference(
     feature_root: Path | str = Path("data/image_features"),
     kaggle_queries=None,
     save_features: bool = True,
+    jit_forward: bool = True,
 ) -> Dict:
     """``forward_fn`` maps a uint8 (B, S, S, 3) device batch to (B, D)
     embeddings (preprocessing fused inside). ``dataset`` is a test catalog
@@ -61,7 +62,8 @@ def run_inference(
         # device-resident: retrieval consumes the matrix in HBM; only the
         # feature cache needs a host copy
         gallery = embed_batched(forward_fn, loader, len(loader), batch_size,
-                                mesh=mesh, return_device=True)
+                                mesh=mesh, return_device=True,
+                                jit_apply=jit_forward)
         # save_features=False for transient evals (e.g. the per-epoch
         # retrieval hook) that would otherwise litter feature_root with a
         # timestamped folder per call
@@ -73,7 +75,8 @@ def run_inference(
     def _eval(catalog) -> Dict:
         qloader = GalleryLoader(catalog.sketch_paths, image_size, resize_mode)
         queries = embed_batched(forward_fn, qloader, len(qloader), batch_size,
-                                mesh=mesh, return_device=True)
+                                mesh=mesh, return_device=True,
+                                jit_apply=jit_forward)
         return evaluate_retrieval(
             queries, gallery, catalog.sketch_paths,
             image_paths, loss_type=loss_type, start_time=timer.elapsed(),

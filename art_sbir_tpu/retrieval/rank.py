@@ -110,8 +110,11 @@ def evaluate_retrieval(
     use_fused = (loss_type in ("euclidean", "cosine")
                  and n_gallery >= FUSED_GALLERY_THRESHOLD
                  and k_eff <= 128)
-    # per-chunk results stay on device; ONE host drain after the loop so
-    # chunk dispatch pipelines instead of paying a transfer barrier each
+    # per-chunk results stay on device with one drain after the loop, so
+    # chunk dispatch pipelines on the XLA route (< FUSED_GALLERY_THRESHOLD).
+    # NOTE: the fused route still syncs per chunk internally — its
+    # certificate check pulls `exact` to host (retrieval_pallas.py) — so
+    # the accumulation only removes the extra result transfers there
     rs, vs, idxs = [], [], []
 
     for s in range(0, len(sketch_paths), query_chunk):

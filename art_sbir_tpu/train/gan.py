@@ -24,7 +24,6 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax.core import FrozenDict
 
@@ -97,19 +96,11 @@ class Pix2Pix:
             lambda g, x: self._apply(g, g.params, x, False)[0])
 
     def _shard(self, batch: Dict) -> Dict:
-        """Dim-0-shard array leaves over the data mesh (no-op without one).
-        Ragged batches (dim 0 not divisible by the mesh) are placed
-        replicated instead — correct (bit-identical to single-device),
-        just redundantly computed; only the corpus tail is ever ragged."""
-        if self.mesh is None:
-            return batch
-        from art_sbir_tpu.parallel import replicated, shard_batch
+        """Ragged-safe dim-0 sharding; only the corpus tail is ever
+        ragged (it goes replicated — bit-identical, just redundant)."""
+        from art_sbir_tpu.parallel import shard_or_replicate
 
-        n = self.mesh.devices.size
-        if any(v.shape[0] % n
-               for v in batch.values() if hasattr(v, "shape")):
-            return jax.device_put(batch, replicated(self.mesh))
-        return shard_batch(self.mesh, batch)
+        return shard_or_replicate(self.mesh, batch)
 
     @staticmethod
     def _mk_state(model, rng, x, tx) -> TrainState:

@@ -111,17 +111,11 @@ class VAETrainer:
         self._eval = jax.jit(self._eval_step)
 
     def _shard(self, batch: Dict) -> Dict:
-        """Dim-0-shard array leaves over the data mesh (no-op without one);
-        ragged batches fall back to replicated placement, staying exact."""
-        if self.mesh is None:
-            return batch
-        from art_sbir_tpu.parallel import replicated, shard_batch
+        """Ragged-safe dim-0 sharding (replicated fallback, staying
+        exact); no-op without a mesh."""
+        from art_sbir_tpu.parallel import shard_or_replicate
 
-        n = self.mesh.devices.size
-        if any(v.shape[0] % n
-               for v in batch.values() if hasattr(v, "shape")):
-            return jax.device_put(batch, replicated(self.mesh))
-        return shard_batch(self.mesh, batch)
+        return shard_or_replicate(self.mesh, batch)
 
     def _losses(self, params, batch: Dict, rng: jax.Array, step) -> Tuple:
         cfg = self.cfg

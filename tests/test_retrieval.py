@@ -226,6 +226,23 @@ def test_embed_batched_return_device_matches_host(rng):
     np.testing.assert_array_equal(host, np.asarray(dev))
 
 
+def test_embed_batched_grouped_drain_is_exact(rng, monkeypatch):
+    """The host-return path drains device outputs in ~DRAIN_GROUP_BYTES
+    groups (memory bound at 1M-gallery scale). Shrink the group size so a
+    small sweep crosses several drains — including a padded tail inside
+    the last group — and check bit-equality with the single-drain result."""
+    import jax.numpy as jnp
+
+    imgs = rng.standard_normal((37, 4, 4, 1)).astype(np.float32)
+    f = lambda x: jnp.mean(x, axis=(1, 2))  # (B, 1) embedding
+    one = E.embed_batched(f, imgs, batch_size=4)  # fits one group
+    # 4 rows/batch * 1 col * 4 B = 16 B/batch -> drain every other batch
+    monkeypatch.setattr(E, "DRAIN_GROUP_BYTES", 32)
+    many = E.embed_batched(f, imgs, batch_size=4)
+    assert many.shape == (37, 1)
+    np.testing.assert_array_equal(one, many)
+
+
 def test_loss_tracker_lazy_device_scalars():
     """add() must not sync: sums stay lazy jax scalars; append() floats."""
     import jax.numpy as jnp

@@ -218,3 +218,19 @@ def test_certificate_detects_lane_overflow(rng):
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
     # the planted near-duplicates are the true top-8 of query 0
     assert list(np.asarray(i1)[0]) == lane_idx
+
+
+def test_fused_sharded_k_guard_uses_shard_size(rng):
+    """k must be bounded by the PER-SHARD row count (N / devices), not the
+    global N: each shard's kernel extracts top-k from its own rows only."""
+    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_sharded
+
+    n, q, d = 1024, 8, 32  # 128 rows/shard on the 8-device mesh
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    pos = rng.integers(0, n, size=q).astype(np.int32)
+
+    with pytest.raises(ValueError, match="per-shard"):
+        retrieve_fused_sharded(
+            jnp.array(queries), jnp.array(gal), jnp.array(pos), _mesh8(),
+            k=200, tile_q=8, tile_n=128, interpret=True)  # 200 > 128
