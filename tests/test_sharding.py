@@ -252,3 +252,99 @@ def test_vae_dp_matches_single_device(rng):
     l2 = dp.eval_step(ragged, jax.random.key(9))
     for k in l1:
         assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-5), k
+
+
+# ------------------------------------------------------- tensor parallel
+
+def test_tp_spec_trailing_dim_rule():
+    """The uniform rule: shard the trailing dim iff divisible by the model
+    axis; scalars and odd-sized leaves replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    from art_sbir_tpu.parallel.tensor import tp_spec
+
+    k = np.zeros((3, 3, 4, 8))  # conv kernel, cout=8
+    assert tp_spec(k, 4) == P(None, None, None, "model")
+    assert tp_spec(np.zeros((8,)), 4) == P("model")  # BN channel vector
+    assert tp_spec(np.zeros((3, 3, 4, 6)), 4) == P()  # 6 % 4 != 0
+    assert tp_spec(np.zeros(()), 4) == P()  # step / Adam count
+
+
+def test_tp_encoder_matches_single_device(rng):
+    """Channel-sharded (tensor-parallel) inference over a 2x4 (data, model)
+    mesh is numerically the single-device forward; GSPMD inserts every
+    collective from the weight NamedShardings alone."""
+    from art_sbir_tpu.models.resnet import ModifiedResNet
+    from art_sbir_tpu.parallel.tensor import mesh_2d, tp_place, tp_shard_tree
+    from jax.sharding import PartitionSpec as P
+
+    model = ModifiedResNet(
+        layers=(1, 1, 1, 1), output_dim=16, heads=4, input_resolution=32, width=8
+    )
+    x = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.key(0), jnp.asarray(x), train=False
+    )
+    ref = np.asarray(
+        jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+
+    mesh = mesh_2d(2, 4)
+    # every leaf of this model has a divisible channel dim -> all sharded
+    specs = jax.tree_util.tree_leaves(tp_shard_tree(mesh, variables))
+    assert all(s.spec != P() for s in specs)
+    vs = tp_place(mesh, variables)
+    xb = jax.device_put(jnp.asarray(x), batch_sharding(mesh, 4))
+    out = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False),
+        out_shardings=replicated(mesh),
+    )(vs, xb)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_tp_train_step_matches_single_device(rng):
+    """One DP x TP (2x4) triplet train step == the single-device step:
+    params, Adam moments and BN batch_stats all channel-sharded, batch
+    sharded on the data axis."""
+    from art_sbir_tpu.models.resnet import ModifiedResNet
+    from art_sbir_tpu.parallel.tensor import mesh_2d, tp_place
+    from art_sbir_tpu.train.losses import TripletLossConfig
+    from art_sbir_tpu.train.triplet import create_train_state, make_train_step
+
+    import optax
+
+    model = ModifiedResNet(
+        layers=(1, 1, 1, 1), output_dim=16, heads=4, input_resolution=32, width=8
+    )
+    # SGD: the param delta IS the gradient (see the DP test above)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3),
+                               tx=optax.sgd(1.0))
+    step = make_train_step(TripletLossConfig(), donate=False)
+
+    mk = lambda: rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    host_batch = {"sketch": mk(), "positive": mk(), "negative": mk()}
+
+    s1, l1 = step(state, {k: jnp.asarray(v) for k, v in host_batch.items()})
+
+    mesh = mesh_2d(2, 4)
+    state_tp = tp_place(mesh, state)
+    batch_tp = {
+        k: jax.device_put(jnp.asarray(v), batch_sharding(mesh, 4))
+        for k, v in host_batch.items()
+    }
+    s2, l2 = step(state_tp, batch_tp)
+
+    np.testing.assert_allclose(float(l1["loss"]), float(l2["loss"]), rtol=1e-5)
+    g1 = np.concatenate([np.asarray(v).ravel()
+                         for v in jax.tree_util.tree_leaves(s1.params)])
+    g2 = np.concatenate([np.asarray(jax.device_get(v)).ravel()
+                         for v in jax.tree_util.tree_leaves(s2.params)])
+    rel_l2 = np.linalg.norm(g1 - g2) / np.linalg.norm(g1)
+    cos = np.dot(g1, g2) / (np.linalg.norm(g1) * np.linalg.norm(g2))
+    assert rel_l2 < 1e-2, rel_l2
+    assert cos > 0.9999, cos
+    # the updated state keeps its channel sharding (no silent re-replication)
+    kern = s2.params["conv1"]["kernel"]
+    assert "model" in (kern.sharding.spec[-1] or ""), kern.sharding
