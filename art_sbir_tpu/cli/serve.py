@@ -1,0 +1,216 @@
+"""Retrieval serving CLI: a long-lived HTTP service over a trained run.
+
+The deployment-side entry point the reference lacks (its `inference.py`
+only re-evaluates saved result folders offline). This serves the same
+restored checkpoint + gallery as ``cli/inference.py``, but as a persistent
+process that owns the chip: the gallery embedding matrix stays resident in
+HBM, queries are micro-batched into single device dispatches
+(:mod:`art_sbir_tpu.retrieval.server`), and the HTTP layer is stdlib
+(``ThreadingHTTPServer``) so there is nothing to install.
+
+Endpoints
+---------
+* ``GET /healthz`` -> ``{"status": "ok", "gallery_size": N, ...}``
+* ``GET /stats``  -> request/batch counters (mean coalesced batch size)
+* ``POST /search`` with JSON ``{"image_b64": <base64 PNG/JPEG>, "k": 10}``
+  -> ``{"paths": [...], "distances": [...]}`` (ascending)
+
+Gallery sources (mutually exclusive):
+* ``--folder <run>``: restore the run's checkpoint (like cli/inference.py)
+  and embed its test gallery at startup;
+* ``--features <cache>``: reuse a saved gallery-embedding cache from
+  ``data/image_features/`` and restore only the query encoder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import jax
+
+
+def build_engine(args):
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.core.checkpoint import load_pytree
+    from art_sbir_tpu.core.results import load_results
+    from art_sbir_tpu.models.resnet import create_encoder
+    from art_sbir_tpu.retrieval.server import (
+        MicroBatcher,
+        RetrievalEngine,
+        engine_from_feature_cache,
+    )
+    from art_sbir_tpu.train.prepare import finish_gallery_batch
+    from art_sbir_tpu.train.triplet import create_train_state
+
+    run_dir = Path(args.results_root) / args.folder
+    results = load_results(run_dir)
+    data_dict = results.get("data_params", {})
+    param_dict = results.get("training_params", {})
+
+    loss_type = args.metric or param_dict.get("loss_type", "euclidean")
+    model_type = param_dict.get("model_type") or args.folder.split("_")[0]
+    with_classification = "with_classification" in model_type or (
+        "WithClassification" in args.folder)
+    image_size = int(param_dict.get("image_size", 224))
+
+    model = create_encoder(
+        with_classification=with_classification,
+        num_classes=int(param_dict.get("num_classes", 125)),
+        num_classes2=int(param_dict.get("num_classes2", 0)),
+        dtype=jnp.bfloat16,
+        input_resolution=image_size,
+    )
+    state = create_train_state(model, jax.random.key(0),
+                               (1, image_size, image_size, 3))
+    ckpt = Path(args.models_root) / args.folder
+    if ckpt.exists():
+        restored = load_pytree(ckpt, {"params": state.params,
+                                      "batch_stats": state.batch_stats})
+        state = state.replace(**restored)
+    else:
+        print(f"Model {args.folder} not found — serving fresh init",
+              flush=True)
+
+    params, batch_stats = state.params, state.batch_stats
+    resize_mode = param_dict.get("resize_mode")  # else catalog default
+
+    def forward(images_uint8):
+        x = finish_gallery_batch(images_uint8)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, train=False)
+        return out[0] if isinstance(out, tuple) else out
+
+    def kw():
+        return dict(metric=loss_type, image_size=image_size,
+                    resize_mode=resize_mode or "square", k_max=args.k_max,
+                    max_batch=args.max_batch)
+
+    if args.features:
+        engine = engine_from_feature_cache(
+            forward, args.features, root=args.feature_root, **kw())
+    else:
+        from art_sbir_tpu.data import get_datasets
+        from art_sbir_tpu.data.loader import GalleryLoader
+        from art_sbir_tpu.retrieval.embed import embed_batched
+        from art_sbir_tpu.retrieval.engine import InferenceCatalog
+
+        dataset = data_dict["dataset"]
+        if "Mixed" in dataset and "version" in data_dict:
+            dataset = dataset + data_dict["version"]
+        _, test_cat = get_datasets(
+            dataset=dataset, size=data_dict.get("size", 1.0),
+            sketch_type=data_dict.get("sketch_type", "contour_drawings"),
+            img_type=data_dict.get("img_type", "photos"),
+            img_format=data_dict.get("img_format", "jpg"),
+            root=args.data_root,
+        )
+        # same dedup/ordering as offline eval (engine.run_inference)
+        image_paths = InferenceCatalog(test_cat.photo_paths).image_paths
+        resize_mode = resize_mode or getattr(test_cat, "resize_mode",
+                                             "square")
+        loader = GalleryLoader(image_paths, image_size, resize_mode)
+        feats = embed_batched(forward, loader, len(loader),
+                              args.embed_batch, return_device=True)
+        engine = RetrievalEngine(forward, feats, image_paths, **kw())
+
+    return engine, MicroBatcher(engine, window_ms=args.window_ms)
+
+
+def make_handler(engine, batcher):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "gallery_size": int(engine.gallery.shape[0]),
+                    "metric": engine.metric,
+                    "image_size": engine.image_size,
+                    "k_max": engine.k_max,
+                })
+            elif self.path == "/stats":
+                self._json(200, batcher.stats.snapshot())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                data = base64.b64decode(req["image_b64"])
+                out = batcher.search(data, k=req.get("k"))
+                self._json(200, out)
+            except Exception as e:  # malformed request or decode failure
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):  # quiet; /stats has the counters
+            pass
+
+    return Handler
+
+
+def main(argv=None):
+    from art_sbir_tpu.core.cache import enable_compilation_cache
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("-f", "--folder", required=True,
+                   help="results run folder (checkpoint + data params)")
+    p.add_argument("--features", default=None,
+                   help="serve a saved gallery cache from feature_root "
+                        "instead of re-embedding the test gallery")
+    p.add_argument("--results_root", default="results")
+    p.add_argument("--models_root", default="models")
+    p.add_argument("--feature_root", default="data/image_features")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--metric", default=None,
+                   choices=(None, "euclidean", "cosine"))
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8081)
+    p.add_argument("--k_max", type=int, default=10)
+    p.add_argument("--max_batch", type=int, default=32)
+    p.add_argument("--window_ms", type=float, default=2.0)
+    p.add_argument("--embed_batch", type=int, default=256)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the 1-query program before listening")
+    args = p.parse_args(argv)
+
+    enable_compilation_cache()
+    engine, batcher = build_engine(args)
+    if args.warmup:
+        import numpy as np
+
+        s = engine.image_size
+        engine.search_arrays(np.zeros((1, s, s, 3), np.uint8))
+
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(engine, batcher))
+    print(f"serving {engine.gallery.shape[0]}-image gallery on "
+          f"http://{args.host}:{httpd.server_address[1]} "
+          f"(metric={engine.metric}, k_max={engine.k_max}, "
+          f"max_batch={engine.max_batch})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Production serving engine: persistent gallery + micro-batched queries.
+
+The reference has no serving story — its `inference.py:94-136` is an
+offline per-query evaluation loop. This module is the deployment-side
+counterpart the reference lacks: a long-lived engine that owns the chip,
+keeps the gallery embedding matrix resident in HBM, and serves sketch
+queries with TPU-friendly batching:
+
+* **One fused XLA program per batch bucket** — uint8 decode-normalized
+  query batch -> encoder forward -> pairwise distance against the resident
+  gallery -> top-k — so a request costs exactly one device dispatch. Batch
+  sizes are bucketed to powers of two (1, 2, 4, ... max_batch) to bound
+  the number of compiled programs; requests are padded up to the bucket
+  and the pad rows' results discarded.
+* **Micro-batching**: concurrent requests are coalesced by a dispatcher
+  thread — the first request opens a window of ``window_ms``; everything
+  that arrives inside it (up to ``max_batch``) rides the same device
+  dispatch. On a time-shared chip this converts per-request tunnel RTTs
+  into one RTT per batch, which is where the ~400x batched-vs-single
+  throughput gap lives (PERF.md).
+* **k is compiled once** at ``k_max`` (clamped to the gallery size) and
+  sliced per request on host, so varying per-request ``k`` never
+  recompiles.
+
+The HTTP front-end lives in :mod:`art_sbir_tpu.cli.serve`; this module is
+transport-agnostic (the test suite drives it in-process).
+"""
+
+from __future__ import annotations
+
+import io
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from art_sbir_tpu.data.loader import decode_image
+from art_sbir_tpu.ops.distance import pairwise_distance, top_k
+
+
+def _buckets(max_batch: int) -> List[int]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    batched_requests: int = 0  # requests that shared a dispatch
+    lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def record(self, batch_size: int) -> None:
+        with self.lock:
+            self.requests += batch_size
+            self.batches += 1
+            if batch_size > 1:
+                self.batched_requests += batch_size
+
+    def snapshot(self) -> Dict[str, float]:
+        with self.lock:
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "batched_requests": self.batched_requests,
+                "mean_batch": (self.requests / self.batches
+                               if self.batches else 0.0),
+            }
+
+
+class RetrievalEngine:
+    """Owns the resident gallery and the compiled query programs.
+
+    ``forward_fn``: uint8 (B, S, S, 3) device batch -> (B, D) embeddings,
+    preprocessing fused inside (same contract as
+    :func:`art_sbir_tpu.retrieval.engine.run_inference`).
+    """
+
+    def __init__(
+        self,
+        forward_fn: Callable[[jax.Array], jax.Array],
+        gallery_features: np.ndarray | jax.Array,
+        image_paths: Sequence[Path | str],
+        *,
+        metric: str = "euclidean",
+        image_size: int = 224,
+        resize_mode: str = "square",
+        k_max: int = 10,
+        max_batch: int = 32,
+    ):
+        if len(image_paths) != gallery_features.shape[0]:
+            raise ValueError(
+                f"{len(image_paths)} paths vs "
+                f"{gallery_features.shape[0]} feature rows")
+        self.image_paths = [str(p) for p in image_paths]
+        self.gallery = jnp.asarray(gallery_features, jnp.float32)
+        self.metric = metric
+        self.image_size = image_size
+        self.resize_mode = resize_mode
+        self.k_max = min(k_max, self.gallery.shape[0])
+        self.max_batch = max_batch
+        self.buckets = _buckets(max_batch)
+        self._forward = forward_fn
+
+        def program(images_u8: jax.Array, gallery: jax.Array):
+            emb = self._forward(images_u8)
+            if isinstance(emb, (tuple, list)):  # classification models
+                emb = emb[0]
+            dist = pairwise_distance(emb.astype(jnp.float32), gallery,
+                                     metric=self.metric)
+            return top_k(dist, self.k_max)
+
+        # one jit; distinct batch buckets become distinct compiled
+        # executables under the same callable (shape-keyed cache)
+        self._program = jax.jit(program)
+
+    # ------------------------------------------------------------ queries
+
+    def decode(self, data: bytes) -> np.ndarray:
+        """Image bytes (PNG/JPEG/...) -> uint8 (S, S, 3) query, the same
+        PIL decode+resize as the offline gallery path."""
+        return decode_image(io.BytesIO(data), self.image_size,
+                            self.resize_mode)
+
+    def search_arrays(
+        self, images_u8: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """uint8 (B, S, S, 3) -> (top-k distances, top-k indices), padded
+        to the enclosing bucket on device, sliced back on host."""
+        b = images_u8.shape[0]
+        bucket = next(x for x in self.buckets if x >= b) if (
+            b <= self.max_batch) else b
+        if bucket != b:
+            pad = np.zeros((bucket - b, *images_u8.shape[1:]), np.uint8)
+            images_u8 = np.concatenate([images_u8, pad])
+        vals, idx = self._program(jnp.asarray(images_u8), self.gallery)
+        return np.asarray(vals[:b]), np.asarray(idx[:b])
+
+    def search(self, image_bytes: bytes, k: Optional[int] = None) -> Dict:
+        """Single query -> {paths, distances}. Synchronous; for the
+        coalescing path use :class:`MicroBatcher`."""
+        vals, idx = self.search_arrays(self.decode(image_bytes)[None])
+        return self._result(vals[0], idx[0], k)
+
+    def _result(self, vals: np.ndarray, idx: np.ndarray,
+                k: Optional[int]) -> Dict:
+        k = self.k_max if k is None else min(k, self.k_max)
+        return {
+            "paths": [self.image_paths[int(i)] for i in idx[:k]],
+            "distances": [float(v) for v in vals[:k]],
+        }
+
+
+class MicroBatcher:
+    """Coalesces concurrent single queries into one device dispatch.
+
+    The first request in an empty queue opens a ``window_ms`` window;
+    every request arriving inside it (up to ``engine.max_batch``) is
+    stacked into one :meth:`RetrievalEngine.search_arrays` call. Each
+    caller blocks only on its own future.
+    """
+
+    def __init__(self, engine: RetrievalEngine, window_ms: float = 2.0):
+        self.engine = engine
+        self.window_s = window_ms / 1e3
+        self.stats = ServerStats()
+        self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="retrieval-microbatch")
+        self._thread.start()
+
+    def search(self, image_bytes: bytes, k: Optional[int] = None,
+               timeout: Optional[float] = 60.0) -> Dict:
+        """Thread-safe; blocks until this query's results are ready."""
+        img = self.engine.decode(image_bytes)  # decode on the caller thread
+        ev = threading.Event()
+        slot: List = [None]
+        self._q.put((img, k, ev, slot))
+        if not ev.wait(timeout):
+            raise TimeoutError("retrieval dispatch timed out")
+        if isinstance(slot[0], BaseException):
+            raise slot[0]
+        return slot[0]
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------ worker
+
+    def _collect(self) -> Optional[List[tuple]]:
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        waited = False
+        # drain whatever is already queued; on first emptiness wait out the
+        # window once, drain again, then dispatch
+        while len(batch) < self.engine.max_batch:
+            try:
+                nxt = self._q.get_nowait()
+            except queue.Empty:
+                if waited:
+                    break
+                waited = True
+                if self.window_s > 0:
+                    time.sleep(self.window_s)
+                continue
+            if nxt is None:
+                self._q.put(None)  # re-post the shutdown sentinel
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            imgs = np.stack([b[0] for b in batch])
+            try:
+                vals, idx = self.engine.search_arrays(imgs)
+                self.stats.record(len(batch))
+                for i, (_, k, ev, slot) in enumerate(batch):
+                    slot[0] = self.engine._result(vals[i], idx[i], k)
+                    ev.set()
+            except BaseException as e:  # surface to every waiter
+                for _, _, ev, slot in batch:
+                    slot[0] = e
+                    ev.set()
+
+
+def engine_from_feature_cache(
+    forward_fn: Callable,
+    folder_name: str,
+    root: Path | str = Path("data/image_features"),
+    **kw,
+) -> RetrievalEngine:
+    """Build an engine from a saved gallery-embedding cache
+    (:func:`art_sbir_tpu.retrieval.embed.load_image_features` — .npy or
+    reference-style CSV, reference `utils.py:258-263`)."""
+    from art_sbir_tpu.retrieval.embed import load_image_features
+
+    paths, feats = load_image_features(folder_name, root)
+    return RetrievalEngine(forward_fn, feats.astype(np.float32), paths, **kw)

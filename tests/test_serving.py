@@ -1,0 +1,222 @@
+"""Serving engine + HTTP CLI: resident gallery, micro-batched queries.
+
+The reference has no serving path (its `inference.py` is an offline eval
+loop); these tests lock the deployment engine's contracts: self-retrieval
+through real image bytes, bucket-padding exactness, request coalescing,
+and the stdlib HTTP front-end end-to-end over a real trained run folder.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from art_sbir_tpu.data.synthetic import make_synthetic_sketchy
+
+
+def _png_bytes(arr_u8: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr_u8).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    """Mean-pool 'encoder' over 16 distinct solid-color images: top-1 of a
+    query made from image i's own bytes must be i."""
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    rng = np.random.default_rng(0)
+    size = 16
+    imgs = rng.integers(0, 255, size=(16, size, size, 3)).astype(np.uint8)
+
+    def forward(x_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
+        return x.reshape(x.shape[0], -1)
+
+    feats = np.asarray(forward(jnp.asarray(imgs)))
+    paths = [f"gallery/img_{i}.png" for i in range(16)]
+    eng = RetrievalEngine(forward, feats, paths, metric="euclidean",
+                          image_size=size, k_max=5, max_batch=8)
+    return eng, imgs
+
+
+def test_engine_self_retrieval_through_bytes(tiny_engine):
+    eng, imgs = tiny_engine
+    for i in (0, 7, 15):
+        out = eng.search(_png_bytes(imgs[i]))
+        assert out["paths"][0] == f"gallery/img_{i}.png"
+        assert out["distances"][0] == pytest.approx(0.0, abs=1e-3)
+        assert out["distances"] == sorted(out["distances"])
+        assert len(out["paths"]) == 5
+
+
+def test_engine_bucket_padding_exact(tiny_engine):
+    """A 3-query batch (padded to bucket 4) must equal three 1-query
+    calls; pad rows never leak into real rows' results."""
+    eng, imgs = tiny_engine
+    vals3, idx3 = eng.search_arrays(imgs[[2, 9, 4]])
+    assert vals3.shape == (3, 5)
+    for row, i in enumerate((2, 9, 4)):
+        v1, i1 = eng.search_arrays(imgs[i][None])
+        np.testing.assert_array_equal(idx3[row], i1[0])
+        # different batch shapes contract differently in XLA; near-zero
+        # self-distances are sqrt(cancellation noise), so abs tolerance is
+        # sqrt(ulp(||q||^2)) ~ 1e-2 — the index agreement above is the
+        # strong (exact) part of this contract
+        np.testing.assert_allclose(vals3[row], v1[0], rtol=1e-5, atol=2e-2)
+        assert idx3[row, 0] == i
+
+
+def test_engine_k_clamped_to_gallery(tiny_engine):
+    eng, imgs = tiny_engine
+    out = eng.search(_png_bytes(imgs[0]), k=100)  # > k_max -> clamped
+    assert len(out["paths"]) == eng.k_max
+
+
+def test_microbatcher_coalesces_concurrent_queries(tiny_engine):
+    from art_sbir_tpu.retrieval.server import MicroBatcher
+
+    eng, imgs = tiny_engine
+    batcher = MicroBatcher(eng, window_ms=30.0)
+    try:
+        results = {}
+
+        def worker(i):
+            results[i] = batcher.search(_png_bytes(imgs[i]), k=1)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for i in range(8):
+            assert results[i]["paths"] == [f"gallery/img_{i}.png"]
+        s = batcher.stats.snapshot()
+        assert s["requests"] == 8
+        # 8 concurrent requests within a 30 ms window must share dispatches
+        assert s["batches"] < 8, s
+        assert s["mean_batch"] > 1.0
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_surfaces_decode_errors(tiny_engine):
+    from art_sbir_tpu.retrieval.server import MicroBatcher
+
+    eng, _ = tiny_engine
+    batcher = MicroBatcher(eng, window_ms=0.0)
+    try:
+        with pytest.raises(Exception):
+            batcher.search(b"not an image")
+    finally:
+        batcher.close()
+
+
+def test_engine_rejects_mismatched_paths():
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    with pytest.raises(ValueError, match="paths"):
+        RetrievalEngine(lambda x: x, np.zeros((4, 2), np.float32),
+                        ["a", "b"], image_size=8)
+
+
+# ------------------------------------------------------------ HTTP e2e
+
+
+@pytest.fixture(scope="module")
+def served_run(tmp_path_factory):
+    """Train one epoch on synthetic Sketchy (the cli/train e2e recipe),
+    then build the serve CLI's engine over the produced run folder."""
+    import argparse
+    import os
+
+    from art_sbir_tpu.cli.serve import build_engine, make_handler
+    from art_sbir_tpu.cli.train import main as train_main
+
+    root = tmp_path_factory.mktemp("serve_e2e")
+    sketchy = make_synthetic_sketchy(root / "sketchy")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        out = train_main([
+            "-e", "1", "-b", "4", "-d", "SketchyV1",
+            "--model_type", "ModifiedResNet",
+            "--data_root", str(sketchy), "--image_size", "64",
+            "--results_root", str(root / "results"),
+        ])
+        args = argparse.Namespace(
+            folder=out.name, features=None,
+            results_root=str(root / "results"), models_root="models",
+            feature_root="data/image_features", data_root=str(sketchy),
+            metric=None, k_max=5, max_batch=4, window_ms=1.0,
+            embed_batch=32)
+        engine, batcher = build_engine(args)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                    make_handler(engine, batcher))
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        port = httpd.server_address[1]
+        yield engine, port, sketchy
+        httpd.shutdown()
+        batcher.close()
+    finally:
+        os.chdir(cwd)
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_serve_cli_http_end_to_end(served_run):
+    engine, port, sketchy = served_run
+
+    code, health = _get(port, "/healthz")
+    assert code == 200 and health["status"] == "ok"
+    assert health["gallery_size"] == engine.gallery.shape[0] > 0
+
+    sketch = next((Path(sketchy) / "sketches_png").rglob("*.png"))
+    code, out = _post(port, "/search",
+                      {"image_b64": base64.b64encode(
+                          sketch.read_bytes()).decode(), "k": 3})
+    assert code == 200, out
+    # k clamps to the (tiny synthetic) test gallery size
+    assert len(out["paths"]) == min(3, health["gallery_size"])
+    assert out["distances"] == sorted(out["distances"])
+    gallery_set = set(engine.image_paths)
+    assert all(p in gallery_set for p in out["paths"])
+
+    code, stats = _get(port, "/stats")
+    assert code == 200 and stats["requests"] >= 1
+
+    code, err = _post(port, "/search", {"image_b64": "!!notbase64"})
+    assert code == 400 and "error" in err
+
+    code, _ = _get(port, "/nope")
+    assert code == 404
