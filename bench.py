@@ -346,6 +346,46 @@ def bench_encoder(rtt: float) -> float:
     return batch / best
 
 
+def bench_serving(rtt: float) -> None:
+    """Diagnostic: the serving engine's fused query program (u8 query ->
+    RN50 encode -> distance vs 10k-row resident gallery -> top-k) at
+    micro-batch buckets 1 / 8 / 32. Single-request numbers include one
+    host transfer — that IS the serving latency a client sees; batch
+    numbers show what micro-batching buys (retrieval/server.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.models.resnet import ModifiedResNet
+    from art_sbir_tpu.ops.resize import CLIP_MEAN, CLIP_STD, normalize
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    model = ModifiedResNet(dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.key(0), jnp.zeros((8, 224, 224, 3), jnp.float32),
+        train=False)
+
+    def forward(im_u8):
+        f = normalize(im_u8.astype(jnp.bfloat16) / 255.0, CLIP_MEAN, CLIP_STD)
+        return model.apply(variables, f, train=False)
+
+    rng = np.random.default_rng(7)
+    gallery = rng.standard_normal((N_GALLERY, DIM)).astype(np.float32)
+    eng = RetrievalEngine(
+        forward, gallery, [f"img_{i}" for i in range(N_GALLERY)],
+        image_size=224, k_max=10, max_batch=32)
+    for b in (1, 8, 32):
+        q = rng.integers(0, 256, (b, 224, 224, 3)).astype(np.uint8)
+        eng.search_arrays(q)  # warm compile for this bucket
+        best = float("inf")
+        for _ in range(ROUNDS):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                eng.search_arrays(q)  # incl. host result transfer
+            best = min(best, (time.perf_counter() - t0) / 3)
+        log(f"serving fused query program b={b}: {best*1e3:.2f} ms/req "
+            f"({b/best:,.0f} qps incl. encode + one host drain)")
+
+
 def main() -> None:
     from art_sbir_tpu.core.cache import enable_compilation_cache
 
@@ -400,6 +440,11 @@ def main() -> None:
         bench_fused_sharded_on_tpu()
     except Exception as e:  # pragma: no cover - diagnostic
         log(f"fused-sharded TPU parity skipped: {e}")
+
+    try:
+        bench_serving(rtt)
+    except Exception as e:  # diagnostic only
+        log(f"serving bench skipped: {e}")
 
     try:
         bench_crossover(rtt)
