@@ -112,16 +112,31 @@ class RetrievalEngine:
         self.buckets = _buckets(max_batch)
         self._forward = forward_fn
 
-        def program(images_u8: jax.Array, gallery: jax.Array):
+        # same gallery-size routing as offline eval (rank.py): below the
+        # measured crossover one fused XLA program (embed -> (B, N)
+        # distance matrix -> top-k); above it, embed-only on device, then
+        # the streaming Pallas kernel whose state is O(B) instead of the
+        # HBM-prohibitive (B, N) matrix
+        from art_sbir_tpu.retrieval.rank import FUSED_GALLERY_THRESHOLD
+
+        self.use_fused = (metric in ("euclidean", "cosine")
+                          and self.gallery.shape[0] >= FUSED_GALLERY_THRESHOLD
+                          and self.k_max <= 128)
+
+        def embed(images_u8: jax.Array) -> jax.Array:
             emb = self._forward(images_u8)
             if isinstance(emb, (tuple, list)):  # classification models
                 emb = emb[0]
-            dist = pairwise_distance(emb.astype(jnp.float32), gallery,
+            return emb.astype(jnp.float32)
+
+        def program(images_u8: jax.Array, gallery: jax.Array):
+            dist = pairwise_distance(embed(images_u8), gallery,
                                      metric=self.metric)
             return top_k(dist, self.k_max)
 
-        # one jit; distinct batch buckets become distinct compiled
+        # one jit each; distinct batch buckets become distinct compiled
         # executables under the same callable (shape-keyed cache)
+        self._embed = jax.jit(embed)
         self._program = jax.jit(program)
 
     # ------------------------------------------------------------ queries
@@ -143,7 +158,18 @@ class RetrievalEngine:
         if bucket != b:
             pad = np.zeros((bucket - b, *images_u8.shape[1:]), np.uint8)
             images_u8 = np.concatenate([images_u8, pad])
-        vals, idx = self._program(jnp.asarray(images_u8), self.gallery)
+        if self.use_fused:
+            from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
+
+            emb = self._embed(jnp.asarray(images_u8))
+            _, vals, idx = retrieve_fused(
+                emb, self.gallery,
+                jnp.zeros(emb.shape[0], jnp.int32),  # pos unused in serving
+                k=self.k_max, metric=self.metric)
+            if self.metric == "euclidean":  # kernel reports squared dists
+                vals = jnp.sqrt(vals)
+        else:
+            vals, idx = self._program(jnp.asarray(images_u8), self.gallery)
         return np.asarray(vals[:b]), np.asarray(idx[:b])
 
     def search(self, image_bytes: bytes, k: Optional[int] = None) -> Dict:

@@ -220,3 +220,24 @@ def test_serve_cli_http_end_to_end(served_run):
 
     code, _ = _get(port, "/nope")
     assert code == 404
+
+
+def test_engine_fused_route_matches_xla(tiny_engine, monkeypatch):
+    """Above the crossover the engine streams through the Pallas kernel
+    (O(B) state) — force the route by shrinking the threshold and check
+    indices and (sqrt-folded) distances match the XLA-route engine."""
+    import art_sbir_tpu.retrieval.rank as rank_mod
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    monkeypatch.setattr(rank_mod, "FUSED_GALLERY_THRESHOLD", 1)
+    fused = RetrievalEngine(
+        eng._forward, np.asarray(eng.gallery), eng.image_paths,
+        metric="euclidean", image_size=eng.image_size, k_max=5, max_batch=8)
+    assert fused.use_fused and not eng.use_fused
+
+    vals_f, idx_f = fused.search_arrays(imgs[[3, 11]])
+    vals_x, idx_x = eng.search_arrays(imgs[[3, 11]])
+    np.testing.assert_array_equal(idx_f, idx_x)
+    np.testing.assert_allclose(vals_f, vals_x, rtol=1e-4, atol=2e-2)
+    assert idx_f[0, 0] == 3 and idx_f[1, 0] == 11
