@@ -98,6 +98,8 @@ class RetrievalEngine:
         k_max: int = 10,
         max_batch: int = 32,
     ):
+        if gallery_features.shape[0] == 0:
+            raise ValueError("cannot serve an empty gallery")
         if len(image_paths) != gallery_features.shape[0]:
             raise ValueError(
                 f"{len(image_paths)} paths vs "

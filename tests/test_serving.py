@@ -241,3 +241,31 @@ def test_engine_fused_route_matches_xla(tiny_engine, monkeypatch):
     np.testing.assert_array_equal(idx_f, idx_x)
     np.testing.assert_allclose(vals_f, vals_x, rtol=1e-4, atol=2e-2)
     assert idx_f[0, 0] == 3 and idx_f[1, 0] == 11
+
+
+def test_engine_from_feature_cache_roundtrip(tmp_path, tiny_engine):
+    """The --features serving mode: a saved gallery cache (npy + paths CSV,
+    reference utils.py:265-284 layout) rebuilds an equivalent engine."""
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.retrieval.embed import save_image_features
+    from art_sbir_tpu.retrieval.server import engine_from_feature_cache
+
+    eng, imgs = tiny_engine
+    folder = save_image_features(
+        "TinyModel", "TinySet", eng.image_paths, np.asarray(eng.gallery),
+        root=tmp_path)
+    eng2 = engine_from_feature_cache(
+        eng._forward, folder, root=tmp_path, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8)
+    out = eng2.search(_png_bytes(imgs[5]))
+    assert out["paths"][0] == "gallery/img_5.png"
+    assert eng2.image_paths == eng.image_paths
+
+
+def test_engine_rejects_empty_gallery():
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    with pytest.raises(ValueError, match="empty"):
+        RetrievalEngine(lambda x: x, np.zeros((0, 4), np.float32), [],
+                        image_size=8)
