@@ -186,7 +186,8 @@ def main(argv=None):
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)
     p.add_argument("--warmup", action="store_true",
-                   help="compile the 1-query program before listening")
+                   help="compile every batch-bucket program before "
+                        "listening (first requests otherwise pay compiles)")
     args = p.parse_args(argv)
 
     enable_compilation_cache()
@@ -195,7 +196,8 @@ def main(argv=None):
         import numpy as np
 
         s = engine.image_size
-        engine.search_arrays(np.zeros((1, s, s, 3), np.uint8))
+        for b in engine.buckets:  # cold buckets would each pay a compile
+            engine.search_arrays(np.zeros((b, s, s, 3), np.uint8))
 
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(engine, batcher))
