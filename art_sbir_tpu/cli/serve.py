@@ -178,7 +178,8 @@ def main(argv=None):
     p.add_argument("--feature_root", default="data/image_features")
     p.add_argument("--data_root", default=None)
     p.add_argument("--metric", default=None,
-                   choices=(None, "euclidean", "cosine"))
+                   choices=("euclidean", "cosine"),
+                   help="override the run's loss_type")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8081)
     p.add_argument("--k_max", type=int, default=10)
