@@ -14,6 +14,8 @@ Endpoints
 * ``GET /stats``  -> request/batch counters (mean coalesced batch size)
 * ``POST /search`` with JSON ``{"image_b64": <base64 PNG/JPEG>, "k": 10}``
   -> ``{"paths": [...], "distances": [...]}`` (ascending)
+* ``POST /add`` with ``{"image_b64": ..., "path": "name.jpg"}`` -> online
+  index update (requires ``--capacity``; static shapes, never recompiles)
 
 Gallery sources (mutually exclusive):
 * ``--folder <run>``: restore the run's checkpoint (like cli/inference.py)
@@ -88,7 +90,7 @@ def build_engine(args):
     def kw():
         return dict(metric=loss_type, image_size=image_size,
                     resize_mode=resize_mode or "square", k_max=args.k_max,
-                    max_batch=args.max_batch)
+                    max_batch=args.max_batch, capacity=args.capacity)
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -135,7 +137,8 @@ def make_handler(engine, batcher):
             if self.path == "/healthz":
                 self._json(200, {
                     "status": "ok",
-                    "gallery_size": int(engine.gallery.shape[0]),
+                    "gallery_size": int(engine.n_valid),
+                    "capacity": engine.capacity,
                     "metric": engine.metric,
                     "image_size": engine.image_size,
                     "k_max": engine.k_max,
@@ -146,15 +149,20 @@ def make_handler(engine, batcher):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/search":
+            if self.path not in ("/search", "/add"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
                 data = base64.b64decode(req["image_b64"])
-                out = batcher.search(data, k=req.get("k"))
-                self._json(200, out)
+                if self.path == "/add":
+                    idx = engine.add_images([(data, req["path"])])
+                    self._json(200, {"indices": idx,
+                                     "gallery_size": int(engine.n_valid)})
+                else:
+                    out = batcher.search(data, k=req.get("k"))
+                    self._json(200, out)
             except Exception as e:  # malformed request or decode failure
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -183,6 +191,8 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8081)
     p.add_argument("--k_max", type=int, default=10)
+    p.add_argument("--capacity", type=int, default=None,
+                   help="fixed index capacity; enables online POST /add")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

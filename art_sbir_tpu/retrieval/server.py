@@ -21,6 +21,12 @@ queries with TPU-friendly batching:
 * **k is compiled once** at ``k_max`` (clamped to the gallery size) and
   sliced per request on host, so varying per-request ``k`` never
   recompiles.
+* **Online index updates the TPU way** (``capacity=``): the gallery is a
+  fixed-capacity HBM buffer, live rows are selected by an
+  ``arange(capacity) < n_valid`` mask whose bound is a *traced scalar*,
+  and :meth:`RetrievalEngine.add_images` appends rows with one jitted
+  ``dynamic_update_slice`` — static shapes throughout, so adds and the
+  queries racing them never trigger a recompile.
 
 The HTTP front-end lives in :mod:`art_sbir_tpu.cli.serve`; this module is
 transport-agnostic (the test suite drives it in-process).
@@ -97,31 +103,56 @@ class RetrievalEngine:
         resize_mode: str = "square",
         k_max: int = 10,
         max_batch: int = 32,
+        capacity: Optional[int] = None,
     ):
-        if gallery_features.shape[0] == 0:
-            raise ValueError("cannot serve an empty gallery")
-        if len(image_paths) != gallery_features.shape[0]:
+        """``capacity``: enable ONLINE index updates (:meth:`add_images`).
+        The gallery is padded to a fixed ``capacity`` rows so programs
+        compile once (static shapes, the TPU way); live rows are selected
+        by an ``arange(capacity) < n_valid`` mask passed as a traced
+        scalar, so adds never recompile. Without it the index is
+        immutable (and large galleries route through the fused kernel)."""
+        n0 = int(gallery_features.shape[0])
+        if n0 == 0 and capacity is None:
+            raise ValueError("cannot serve an empty gallery "
+                             "(pass capacity= to start an online index)")
+        if len(image_paths) != n0:
             raise ValueError(
-                f"{len(image_paths)} paths vs "
-                f"{gallery_features.shape[0]} feature rows")
+                f"{len(image_paths)} paths vs {n0} feature rows")
         self.image_paths = [str(p) for p in image_paths]
-        self.gallery = jnp.asarray(gallery_features, jnp.float32)
         self.metric = metric
         self.image_size = image_size
         self.resize_mode = resize_mode
-        self.k_max = min(k_max, self.gallery.shape[0])
         self.max_batch = max_batch
         self.buckets = _buckets(max_batch)
         self._forward = forward_fn
+        self._lock = threading.Lock()  # guards gallery/n_valid/paths
+
+        self.capacity = capacity
+        if capacity is not None:
+            if capacity < max(n0, 1):
+                raise ValueError(
+                    f"capacity {capacity} < initial gallery {n0}")
+            feats = np.zeros((capacity, gallery_features.shape[1]),
+                             np.float32)
+            feats[:n0] = np.asarray(gallery_features, np.float32)
+            self.gallery = jnp.asarray(feats)
+            self.n_valid = n0
+            self.k_max = min(k_max, capacity)
+        else:
+            self.gallery = jnp.asarray(gallery_features, jnp.float32)
+            self.n_valid = n0
+            self.k_max = min(k_max, n0)
 
         # same gallery-size routing as offline eval (rank.py): below the
         # measured crossover one fused XLA program (embed -> (B, N)
         # distance matrix -> top-k); above it, embed-only on device, then
         # the streaming Pallas kernel whose state is O(B) instead of the
-        # HBM-prohibitive (B, N) matrix
+        # HBM-prohibitive (B, N) matrix. Online (capacity) indexes always
+        # use the maskable XLA program.
         from art_sbir_tpu.retrieval.rank import FUSED_GALLERY_THRESHOLD
 
-        self.use_fused = (metric in ("euclidean", "cosine")
+        self.use_fused = (capacity is None
+                          and metric in ("euclidean", "cosine")
                           and self.gallery.shape[0] >= FUSED_GALLERY_THRESHOLD
                           and self.k_max <= 128)
 
@@ -131,15 +162,25 @@ class RetrievalEngine:
                 emb = emb[0]
             return emb.astype(jnp.float32)
 
-        def program(images_u8: jax.Array, gallery: jax.Array):
+        def program(images_u8: jax.Array, gallery: jax.Array,
+                    n_valid: jax.Array):
             dist = pairwise_distance(embed(images_u8), gallery,
                                      metric=self.metric)
-            return top_k(dist, self.k_max)
+            valid = jnp.arange(gallery.shape[0]) < n_valid
+            return top_k(dist, self.k_max, valid=valid)
+
+        def append_rows(gallery: jax.Array, rows: jax.Array,
+                        at: jax.Array) -> jax.Array:
+            return jax.lax.dynamic_update_slice(gallery, rows, (at, 0))
 
         # one jit each; distinct batch buckets become distinct compiled
-        # executables under the same callable (shape-keyed cache)
+        # executables under the same callable (shape-keyed cache).
+        # append_rows deliberately does NOT donate the gallery buffer: a
+        # concurrently-dispatched search may still hold the old array, and
+        # donation would delete it under that dispatch.
         self._embed = jax.jit(embed)
         self._program = jax.jit(program)
+        self._append_rows = jax.jit(append_rows)
 
     # ------------------------------------------------------------ queries
 
@@ -160,19 +201,51 @@ class RetrievalEngine:
         if bucket != b:
             pad = np.zeros((bucket - b, *images_u8.shape[1:]), np.uint8)
             images_u8 = np.concatenate([images_u8, pad])
+        with self._lock:  # consistent (gallery, n_valid) snapshot
+            gallery, n_valid = self.gallery, self.n_valid
         if self.use_fused:
             from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
 
             emb = self._embed(jnp.asarray(images_u8))
             _, vals, idx = retrieve_fused(
-                emb, self.gallery,
+                emb, gallery,
                 jnp.zeros(emb.shape[0], jnp.int32),  # pos unused in serving
                 k=self.k_max, metric=self.metric)
             if self.metric == "euclidean":  # kernel reports squared dists
                 vals = jnp.sqrt(vals)
         else:
-            vals, idx = self._program(jnp.asarray(images_u8), self.gallery)
+            vals, idx = self._program(jnp.asarray(images_u8), gallery,
+                                      jnp.int32(n_valid))
         return np.asarray(vals[:b]), np.asarray(idx[:b])
+
+    def add_images(self, items: Sequence[Tuple[bytes, str]]) -> List[int]:
+        """Online index update: decode + embed each (image_bytes, path)
+        and append to the next free rows. Requires ``capacity`` mode.
+        Returns the assigned gallery indices. Never recompiles: the row
+        write is one jitted donated dynamic_update_slice per image and
+        queries mask by the traced ``n_valid`` scalar."""
+        if self.capacity is None:
+            raise ValueError("immutable index: construct with capacity= "
+                             "to enable add_images")
+        if not items:
+            return []
+        imgs = np.stack([self.decode(b) for b, _ in items])
+        b = imgs.shape[0]
+        bucket = next((x for x in self.buckets if x >= b), b)
+        if bucket != b:
+            imgs = np.concatenate(
+                [imgs, np.zeros((bucket - b, *imgs.shape[1:]), np.uint8)])
+        emb = self._embed(jnp.asarray(imgs))[:b]
+        with self._lock:
+            if self.n_valid + b > self.capacity:
+                raise ValueError(
+                    f"index full: {self.n_valid}+{b} > {self.capacity}")
+            start = self.n_valid
+            self.gallery = self._append_rows(self.gallery, emb,
+                                             jnp.int32(start))
+            self.image_paths.extend(p for _, p in items)
+            self.n_valid = start + b  # publish last
+        return list(range(start, start + b))
 
     def search(self, image_bytes: bytes, k: Optional[int] = None) -> Dict:
         """Single query -> {paths, distances}. Synchronous; for the
@@ -183,9 +256,11 @@ class RetrievalEngine:
     def _result(self, vals: np.ndarray, idx: np.ndarray,
                 k: Optional[int]) -> Dict:
         k = self.k_max if k is None else min(k, self.k_max)
+        vals, idx = vals[:k], idx[:k]
+        live = np.isfinite(vals)  # masked (empty) slots rank at +inf
         return {
-            "paths": [self.image_paths[int(i)] for i in idx[:k]],
-            "distances": [float(v) for v in vals[:k]],
+            "paths": [self.image_paths[int(i)] for i in idx[live]],
+            "distances": [float(v) for v in vals[live]],
         }
 
 

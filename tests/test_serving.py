@@ -160,7 +160,7 @@ def served_run(tmp_path_factory):
             results_root=str(root / "results"), models_root="models",
             feature_root="data/image_features", data_root=str(sketchy),
             metric=None, k_max=5, max_batch=4, window_ms=1.0,
-            embed_batch=32)
+            embed_batch=32, capacity=None)
         engine, batcher = build_engine(args)
         httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                     make_handler(engine, batcher))
@@ -269,3 +269,99 @@ def test_engine_rejects_empty_gallery():
     with pytest.raises(ValueError, match="empty"):
         RetrievalEngine(lambda x: x, np.zeros((0, 4), np.float32), [],
                         image_size=8)
+
+
+# ------------------------------------------------------- online index
+
+def _mk_capacity_engine(imgs, n0, capacity):
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    def forward(x_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
+        return x.reshape(x.shape[0], -1)
+
+    s = imgs.shape[1] if imgs.ndim == 4 else 16
+    if n0:
+        feats = np.asarray(forward(jnp.asarray(imgs[:n0])))
+    else:
+        feats = np.zeros((0, s * s * 3), np.float32)
+    return RetrievalEngine(
+        forward, feats, [f"gallery/img_{i}.png" for i in range(n0)],
+        metric="euclidean", image_size=s, k_max=10,
+        max_batch=8, capacity=capacity), forward
+
+
+def test_engine_online_add(tiny_engine):
+    """capacity mode: adds are visible to subsequent searches, empty
+    slots never appear in results, and results clamp to n_valid."""
+    _, imgs = tiny_engine
+    eng, _ = _mk_capacity_engine(imgs, n0=2, capacity=8)
+
+    out = eng.search(_png_bytes(imgs[1]))
+    assert out["paths"][0] == "gallery/img_1.png"
+    assert len(out["paths"]) == 2  # only 2 live rows despite k_max=8
+
+    idx = eng.add_images([(_png_bytes(imgs[i]), f"added/img_{i}.png")
+                          for i in (5, 6, 7)])
+    assert idx == [2, 3, 4]
+
+    out = eng.search(_png_bytes(imgs[6]))
+    assert out["paths"][0] == "added/img_6.png"
+    assert len(out["paths"]) == 5  # 2 initial + 3 added, never the pads
+    assert all(np.isfinite(out["distances"]))
+
+
+def test_engine_add_overflow_and_immutable(tiny_engine):
+    _, imgs = tiny_engine
+    eng, _ = _mk_capacity_engine(imgs, n0=2, capacity=3)
+    eng.add_images([(_png_bytes(imgs[9]), "a.png")])
+    with pytest.raises(ValueError, match="full"):
+        eng.add_images([(_png_bytes(imgs[10]), "b.png")])
+
+    immutable, _ = tiny_engine
+    with pytest.raises(ValueError, match="immutable"):
+        immutable.add_images([(_png_bytes(imgs[0]), "c.png")])
+
+
+def test_engine_capacity_empty_start(tiny_engine):
+    """An online index can start empty: searches return nothing until
+    the first add."""
+    _, imgs = tiny_engine
+    eng, _ = _mk_capacity_engine(imgs[:0], n0=0, capacity=4)
+    out = eng.search(_png_bytes(imgs[0]))
+    assert out["paths"] == [] and out["distances"] == []
+    eng.add_images([(_png_bytes(imgs[0]), "first.png")])
+    out = eng.search(_png_bytes(imgs[0]))
+    assert out["paths"] == ["first.png"]
+
+
+def test_http_add_endpoint(tiny_engine):
+    """POST /add over HTTP against a capacity-mode engine; searches see
+    the new row; an immutable engine answers 400."""
+    from art_sbir_tpu.cli.serve import make_handler
+    from art_sbir_tpu.retrieval.server import MicroBatcher
+
+    _, imgs = tiny_engine
+    eng, _ = _mk_capacity_engine(imgs, n0=2, capacity=8)
+    batcher = MicroBatcher(eng, window_ms=0.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(eng, batcher))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    try:
+        b64 = base64.b64encode(_png_bytes(imgs[12])).decode()
+        code, out = _post(port, "/add", {"image_b64": b64,
+                                         "path": "new/img_12.png"})
+        assert code == 200 and out["indices"] == [2]
+        assert out["gallery_size"] == 3
+
+        code, res = _post(port, "/search", {"image_b64": b64, "k": 1})
+        assert code == 200 and res["paths"] == ["new/img_12.png"]
+
+        code, health = _get(port, "/healthz")
+        assert health["gallery_size"] == 3 and health["capacity"] == 8
+    finally:
+        httpd.shutdown()
+        batcher.close()
