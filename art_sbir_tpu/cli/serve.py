@@ -149,12 +149,16 @@ def make_handler(engine, batcher):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/search", "/add"):
+            if self.path not in ("/search", "/add", "/save"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n))
+                req = json.loads(self.rfile.read(n)) if n else {}
+                if self.path == "/save":
+                    self._json(200, {"folder": engine.save(
+                        dataset_name=req.get("dataset_name", "online"))})
+                    return
                 data = base64.b64decode(req["image_b64"])
                 if self.path == "/add":
                     idx = engine.add_images([(data, req["path"])])

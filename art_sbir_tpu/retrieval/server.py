@@ -247,6 +247,20 @@ class RetrievalEngine:
             self.n_valid = start + b  # publish last
         return list(range(start, start + b))
 
+    def save(self, model_name: str = "ServedIndex",
+             dataset_name: str = "online",
+             root: Path | str = Path("data/image_features")) -> str:
+        """Persist the live rows as a standard gallery feature cache
+        (loadable by :func:`engine_from_feature_cache` and the offline
+        eval's ``--features``). Returns the cache folder name."""
+        from art_sbir_tpu.retrieval.embed import save_image_features
+
+        with self._lock:
+            feats = np.asarray(self.gallery[:self.n_valid], np.float32)
+            paths = list(self.image_paths)
+        return save_image_features(model_name, dataset_name, paths, feats,
+                                   root=root)
+
     def search(self, image_bytes: bytes, k: Optional[int] = None) -> Dict:
         """Single query -> {paths, distances}. Synchronous; for the
         coalescing path use :class:`MicroBatcher`."""

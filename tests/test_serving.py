@@ -365,3 +365,21 @@ def test_http_add_endpoint(tiny_engine):
     finally:
         httpd.shutdown()
         batcher.close()
+
+
+def test_engine_save_reload_roundtrip(tmp_path, tiny_engine):
+    """An online index persists as a standard feature cache and reloads
+    into an equivalent immutable engine."""
+    from art_sbir_tpu.retrieval.server import engine_from_feature_cache
+
+    _, imgs = tiny_engine
+    eng, forward = _mk_capacity_engine(imgs, n0=2, capacity=8)
+    eng.add_images([(_png_bytes(imgs[4]), "added/img_4.png")])
+    folder = eng.save(root=tmp_path)
+
+    eng2 = engine_from_feature_cache(
+        forward, folder, root=tmp_path, metric="euclidean",
+        image_size=16, k_max=3, max_batch=4)
+    assert eng2.n_valid == 3
+    out = eng2.search(_png_bytes(imgs[4]))
+    assert out["paths"][0] == "added/img_4.png"
