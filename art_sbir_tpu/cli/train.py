@@ -67,7 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "smaller values give CPU-sized test encoders)")
     p.add_argument("--layers", type=int, nargs=4, default=[3, 4, 6, 3],
                    help="bottleneck blocks per stage (3 4 6 3 = RN50)")
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="bf16 compute / f32 params (the TPU-native "
+                        "default); --no-bf16 runs full-f32 compute, e.g. "
+                        "for strict cross-sharding equality checks")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="epoch-tagged resumable checkpoints (orbax)")
@@ -87,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel devices over the ICI mesh "
                         "(1 = single device, -1 = all available); batches "
                         "are sharded on dim 0 and XLA all-reduces gradients")
+    p.add_argument("--tp_devices", type=int, default=1,
+                   help="tensor-parallel (model-axis) devices: params, Adam "
+                        "moments and BN stats channel-sharded over a 2-D "
+                        "(data, model) mesh (parallel/tensor.py); combines "
+                        "with --n_devices data shards; single-host only")
     p.add_argument("--multihost", action="store_true",
                    help="join a multi-host (TPU pod) runtime before building "
                         "the mesh; run the same command on every host via "
@@ -167,12 +176,27 @@ def main(argv=None) -> Path:
         print(f"Model {args.model} loaded", flush=True)
 
     mesh = None
-    if args.n_devices != 1:
+    place_state = lambda st: st  # re-place after checkpoint restores
+    if args.tp_devices > 1:
+        from art_sbir_tpu.parallel import mesh_2d, tp_place
+
+        if args.multihost:
+            raise SystemExit("--tp_devices is single-host (combine with "
+                             "--n_devices for in-host data parallelism)")
+        n_data = (max(len(jax.devices()) // args.tp_devices, 1)
+                  if args.n_devices < 0 else max(args.n_devices, 1))
+        mesh = mesh_2d(n_data, args.tp_devices)
+        place_state = lambda st: tp_place(mesh, st)
+        state = place_state(state)
+        print(f"mesh: {n_data} data x {args.tp_devices} model devices "
+              "(params/opt-state/BN stats channel-sharded)", flush=True)
+    elif args.n_devices != 1:
         from art_sbir_tpu.parallel import data_mesh, replicated
 
         n = None if args.n_devices < 0 else args.n_devices
         mesh = data_mesh(n)
-        state = jax.device_put(state, replicated(mesh))
+        place_state = lambda st: jax.device_put(st, replicated(mesh))
+        state = place_state(state)
         print(f"data mesh: {mesh.devices.size} devices", flush=True)
 
     augment_version = getattr(train_cat, "augment_sketches", 0)
@@ -193,7 +217,9 @@ def main(argv=None) -> Path:
                     from art_sbir_tpu.parallel import shard_batch
 
                     b = len(next(iter(batch.values())))
-                    n = mesh.devices.size
+                    # batches shard over the DATA axis only (a 2-D TP mesh
+                    # replicates them over 'model')
+                    n = int(mesh.shape["data"])
                     if b % n:
                         # ragged tail: tile every row to lcm(b, n) so the
                         # batch shards evenly. Tiling preserves the batch
@@ -259,9 +285,7 @@ def main(argv=None) -> Path:
                 )
                 state = state.replace(**restored)
                 if mesh is not None:
-                    from art_sbir_tpu.parallel import replicated
-
-                    state = jax.device_put(state, replicated(mesh))
+                    state = place_state(state)
                 start_epoch = int(mgr.latest_step())
                 print(f"Resumed from epoch {start_epoch}", flush=True)
         from art_sbir_tpu.core.metrics import maybe_profile

@@ -348,3 +348,49 @@ def test_tp_train_step_matches_single_device(rng):
     # the updated state keeps its channel sharding (no silent re-replication)
     kern = s2.params["conv1"]["kernel"]
     assert "model" in (kern.sharding.spec[-1] or ""), kern.sharding
+
+
+def test_train_cli_tp_matches_single_device(tmp_path, monkeypatch):
+    """The e2e train CLI on a 2x4 DPxTP mesh (--n_devices 2 --tp_devices 4)
+    matches single-device, run with --no-bf16: the CLI's bf16-compute
+    default amplifies TP's resharding reassociation to bf16 numerics
+    (~1e-2 relative embeddings -> ~10% loss spread on fresh-init
+    near-tie triplets), while DP splits only the batch dim and stays
+    near-exact even in bf16. f32 TP agrees to fp tolerance (verified at
+    library level in test_tp_train_step_matches_single_device). Past step
+    one, torch-parity Adam is sign-like (mhat/sqrt(vhat) -> ±lr on
+    near-zero grads), so later-step and retrieval comparisons get modest
+    slack even at f32."""
+    import json
+
+    from art_sbir_tpu.data.synthetic import make_synthetic_sketchy
+
+    root = make_synthetic_sketchy(tmp_path / "sketchy")
+    monkeypatch.chdir(tmp_path)
+    from art_sbir_tpu.cli.train import main
+
+    def run(extra, tag):
+        out = main([
+            "-e", "1", "-b", "16", "-d", "SketchyV1",
+            "--model_type", "ModifiedResNet", "--no-bf16",
+            "--data_root", str(root), "--image_size", "64", "--inference",
+            "--results_root", str(tmp_path / f"results_{tag}"),
+            "--seed", "3", *extra,
+        ])
+        training = json.loads((out / "training.json").read_text())
+        inference = json.loads((out / "inference.json").read_text())
+        params = json.loads((out / "training_params.json").read_text())
+        return training, inference, params
+
+    t1, i1, p1 = run([], "single")
+    t8, i8, p8 = run(["--n_devices", "2", "--tp_devices", "4"], "tp")
+    assert p1["n_devices"] == 1 and p8["n_devices"] == 8
+    np.testing.assert_allclose(t1["train_losses"], t8["train_losses"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(t1["test_losses"], t8["test_losses"],
+                               rtol=1e-3)
+    # retrieval ranks after one (sign-like, see above) Adam step: discrete
+    # metrics on a tiny gallery tolerate at most one near-tie flip
+    assert i1["topk_acc"][-1] == i8["topk_acc"][-1]
+    np.testing.assert_allclose(i1["mean_reciprocal_rank"],
+                               i8["mean_reciprocal_rank"], rtol=0.2)
