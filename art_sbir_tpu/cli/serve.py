@@ -53,6 +53,10 @@ def build_engine(args):
     results = load_results(run_dir)
     data_dict = results.get("data_params", {})
     param_dict = results.get("training_params", {})
+    if not args.features and "dataset" not in data_dict:
+        raise SystemExit(
+            f"results folder {run_dir} has no data_params.json — pass a "
+            "trained run folder, or serve a saved gallery with --features")
 
     loss_type = args.metric or param_dict.get("loss_type", "euclidean")
     model_type = param_dict.get("model_type") or args.folder.split("_")[0]
