@@ -70,6 +70,10 @@ def build_engine(args):
         num_classes2=int(param_dict.get("num_classes2", 0)),
         dtype=jnp.bfloat16,
         input_resolution=image_size,
+        # runs trained with non-default tower geometry record it in
+        # training_params.json; ignoring it would shape-mismatch at restore
+        width=int(param_dict.get("width", 64)),
+        layers=tuple(param_dict.get("layers", (3, 4, 6, 3))),
     )
     state = create_train_state(model, jax.random.key(0),
                                (1, image_size, image_size, 3))
@@ -171,6 +175,8 @@ def make_handler(engine, batcher):
                 else:
                     out = batcher.search(data, k=req.get("k"))
                     self._json(200, out)
+            except TimeoutError as e:  # server-side stall, not a bad request
+                self._json(503, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # malformed request or decode failure
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -220,7 +226,8 @@ def main(argv=None):
 
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(engine, batcher))
-    print(f"serving {engine.gallery.shape[0]}-image gallery on "
+    cap = "" if engine.capacity is None else f" (capacity {engine.capacity})"
+    print(f"serving {engine.n_valid}-image gallery{cap} on "
           f"http://{args.host}:{httpd.server_address[1]} "
           f"(metric={engine.metric}, k_max={engine.k_max}, "
           f"max_batch={engine.max_batch})", flush=True)

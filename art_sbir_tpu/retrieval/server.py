@@ -255,9 +255,10 @@ class RetrievalEngine:
         eval's ``--features``). Returns the cache folder name."""
         from art_sbir_tpu.retrieval.embed import save_image_features
 
-        with self._lock:
-            feats = np.asarray(self.gallery[:self.n_valid], np.float32)
+        with self._lock:  # snapshot refs only; transfer outside the lock
+            gallery, n_valid = self.gallery, self.n_valid
             paths = list(self.image_paths)
+        feats = np.asarray(gallery[:n_valid], np.float32)
         return save_image_features(model_name, dataset_name, paths, feats,
                                    root=root)
 
@@ -269,7 +270,9 @@ class RetrievalEngine:
 
     def _result(self, vals: np.ndarray, idx: np.ndarray,
                 k: Optional[int]) -> Dict:
-        k = self.k_max if k is None else min(k, self.k_max)
+        # int() validates request-supplied k (floats/strings raise HERE,
+        # in the caller's request scope, not inside a shared batch)
+        k = self.k_max if k is None else min(int(k), self.k_max)
         vals, idx = vals[:k], idx[:k]
         live = np.isfinite(vals)  # masked (empty) slots rank at +inf
         return {
@@ -297,8 +300,13 @@ class MicroBatcher:
         self._thread.start()
 
     def search(self, image_bytes: bytes, k: Optional[int] = None,
-               timeout: Optional[float] = 60.0) -> Dict:
-        """Thread-safe; blocks until this query's results are ready."""
+               timeout: Optional[float] = 600.0) -> Dict:
+        """Thread-safe; blocks until this query's results are ready.
+
+        The default timeout must cover a COLD bucket's XLA compile (tens
+        of seconds to minutes for the flagship encoder on a slow host —
+        see CLAUDE.md), not just a warm dispatch; start the server with
+        ``--warmup`` to pay those compiles before listening."""
         img = self.engine.decode(image_bytes)  # decode on the caller thread
         ev = threading.Event()
         slot: List = [None]
@@ -347,14 +355,21 @@ class MicroBatcher:
             imgs = np.stack([b[0] for b in batch])
             try:
                 vals, idx = self.engine.search_arrays(imgs)
-                self.stats.record(len(batch))
-                for i, (_, k, ev, slot) in enumerate(batch):
-                    slot[0] = self.engine._result(vals[i], idx[i], k)
-                    ev.set()
-            except BaseException as e:  # surface to every waiter
+            except BaseException as e:  # whole dispatch failed
                 for _, _, ev, slot in batch:
                     slot[0] = e
                     ev.set()
+                continue
+            self.stats.record(len(batch))
+            # per-waiter result assembly: one request's bad parameters
+            # (e.g. a non-int k) must fail only that request, never its
+            # batchmates; slot is never touched after its ev is set
+            for i, (_, k, ev, slot) in enumerate(batch):
+                try:
+                    slot[0] = self.engine._result(vals[i], idx[i], k)
+                except BaseException as e:
+                    slot[0] = e
+                ev.set()
 
 
 def engine_from_feature_cache(

@@ -383,3 +383,36 @@ def test_engine_save_reload_roundtrip(tmp_path, tiny_engine):
     assert eng2.n_valid == 3
     out = eng2.search(_png_bytes(imgs[4]))
     assert out["paths"][0] == "added/img_4.png"
+
+
+def test_microbatcher_bad_k_fails_only_its_request(tiny_engine):
+    """A malformed per-request k (non-int JSON number) must fail only that
+    request — batchmates coalesced into the same dispatch still succeed."""
+    from art_sbir_tpu.retrieval.server import MicroBatcher
+
+    eng, imgs = tiny_engine
+    batcher = MicroBatcher(eng, window_ms=30.0)
+    try:
+        results = {}
+
+        def good(i):
+            results[i] = batcher.search(_png_bytes(imgs[i]), k=1)
+
+        def bad():
+            try:
+                batcher.search(_png_bytes(imgs[0]), k="three")
+                results["bad"] = "no error"
+            except Exception as e:
+                results["bad"] = e
+
+        threads = [threading.Thread(target=good, args=(i,))
+                   for i in (1, 2)] + [threading.Thread(target=bad)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert isinstance(results["bad"], Exception), results["bad"]
+        for i in (1, 2):
+            assert results[i]["paths"] == [f"gallery/img_{i}.png"]
+    finally:
+        batcher.close()
