@@ -265,6 +265,9 @@ def main(argv=None) -> Path:
         "resize_mode": resize_mode
         or getattr(train_cat, "resize_mode", "square"),
         "n_devices": 1 if mesh is None else int(mesh.devices.size),
+        # mesh layout, so a 2x4 DPxTP run is distinguishable from pure
+        # 8-way DP when reproducing from this contract
+        "tp_devices": int(args.tp_devices),
     }
     data_dict = train_cat.state_dict
     print(param_dict, flush=True)

@@ -94,7 +94,9 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
     def _put(x):
         if not hasattr(x, "ndim"):
             x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
+        sh = (replicated(mesh) if x.ndim == 0  # scalars can't dim-0-shard
+              else batch_sharding(mesh, x.ndim, axis_name))
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(_put, batch)
 
@@ -102,13 +104,16 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
 def shard_or_replicate(mesh: Optional[Mesh], batch: dict,
                        axis_name: str = DATA_AXIS) -> dict:
     """Dim-0-shard a dict batch over the data mesh; a ragged batch (dim 0
-    not divisible by the device count) falls back to fully-replicated
-    placement, which stays exact — each chip redundantly computes the
-    whole batch. No-op without a mesh. Shared by the GAN/VAE trainers."""
+    not divisible by the DATA-axis size — a 2-D TP mesh replicates over
+    'model') falls back to fully-replicated placement, which stays exact —
+    each chip redundantly computes the whole batch. Scalar (0-d) leaves
+    are always replicable and never count as ragged. No-op without a
+    mesh. Shared by the GAN/VAE trainers."""
     if mesh is None:
         return batch
-    n = mesh.devices.size
-    if any(v.shape[0] % n for v in batch.values() if hasattr(v, "shape")):
+    n = int(mesh.shape[axis_name])
+    if any(getattr(v, "ndim", 0) and v.shape[0] % n
+           for v in batch.values() if hasattr(v, "shape")):
         return jax.device_put(batch, replicated(mesh))
     return shard_batch(mesh, batch, axis_name)
 

@@ -125,8 +125,12 @@ def evaluate_retrieval(
             from art_sbir_tpu.ops.retrieval_pallas import (
                 retrieve_fused, retrieve_fused_sharded)
 
-            if mesh is not None and mesh.devices.size > 1 \
-                    and n_gallery % mesh.devices.size == 0:
+            # the sharded sweep splits the gallery over the FIRST mesh
+            # axis only (a 2-D TP mesh replicates it over 'model'), so
+            # gate on that axis size, not the total device count
+            n_shards = (0 if mesh is None
+                        else int(mesh.shape[mesh.axis_names[0]]))
+            if n_shards > 1 and n_gallery % n_shards == 0:
                 r, v2, i = retrieve_fused_sharded(
                     q, gal, p, mesh, k=k_eff, metric=loss_type)
             else:

@@ -394,3 +394,46 @@ def test_train_cli_tp_matches_single_device(tmp_path, monkeypatch):
     assert i1["topk_acc"][-1] == i8["topk_acc"][-1]
     np.testing.assert_allclose(i1["mean_reciprocal_rank"],
                                i8["mean_reciprocal_rank"], rtol=0.2)
+
+
+def test_shard_or_replicate_uses_data_axis_on_2d_mesh(rng):
+    """Raggedness is judged against the DATA-axis size (a 2-D TP mesh
+    replicates batches over 'model'); scalar leaves never count ragged."""
+    from art_sbir_tpu.parallel import shard_or_replicate
+    from art_sbir_tpu.parallel.tensor import mesh_2d
+
+    mesh = mesh_2d(2, 4)
+    batch = {"x": rng.standard_normal((6, 3)).astype(np.float32),
+             "w": np.float32(0.5)}  # 0-d leaf must not crash or force
+    out = shard_or_replicate(mesh, batch)  # 6 % 2 == 0 -> sharded
+    x = out["x"]
+    assert {s.data.shape for s in x.addressable_shards} == {(3, 3)}
+
+    ragged = {"x": rng.standard_normal((5, 3)).astype(np.float32)}
+    out = shard_or_replicate(mesh, ragged)  # 5 % 2 != 0 -> replicated
+    assert all(s.data.shape == (5, 3)
+               for s in out["x"].addressable_shards)
+
+
+def test_fused_sharded_routing_gates_on_data_axis(rng, monkeypatch):
+    """evaluate_retrieval's fused-sharded gate uses the first mesh axis
+    size: on a 2x4 TP mesh a gallery divisible by 2 (not 8) still routes
+    through the per-shard sweep, exactly matching the no-mesh result."""
+    import art_sbir_tpu.retrieval.rank as rank_mod
+    from art_sbir_tpu.parallel.tensor import mesh_2d
+
+    monkeypatch.setattr(rank_mod, "FUSED_GALLERY_THRESHOLD", 32)
+    n, d = 132, 16  # 132 % 2 == 0 but 132 % 8 != 0
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = gal[:6] + 0.01 * rng.standard_normal((6, d)).astype(np.float32)
+    sketch_paths = [f"gallery/{i}-x.png" for i in range(6)]
+    image_paths = [f"gallery/{i}.jpg" for i in range(n)]
+
+    r0 = rank_mod.evaluate_retrieval(queries, gal, sketch_paths,
+                                     image_paths, loss_type="euclidean")
+    r1 = rank_mod.evaluate_retrieval(queries, gal, sketch_paths,
+                                     image_paths, loss_type="euclidean",
+                                     mesh=mesh_2d(2, 4))
+    assert r0["topk_acc"] == r1["topk_acc"]
+    np.testing.assert_allclose(r0["mean_reciprocal_rank"],
+                               r1["mean_reciprocal_rank"], rtol=1e-6)
