@@ -77,6 +77,10 @@ def main(argv=None) -> None:
                    help="data-parallel devices over the ICI mesh (0 = single "
                         "device): G+D states replicate, batches shard on dim "
                         "0, XLA all-reduces both gradient sets")
+    p.add_argument("--tp_devices", type=int, default=1,
+                   help="tensor-parallel (model-axis) devices: G/D params + "
+                        "Adam moments channel-sharded on a 2-D (data, model) "
+                        "mesh; combines with --n_devices")
     args = p.parse_args(argv)
 
     cfg = Pix2PixConfig(
@@ -84,13 +88,19 @@ def main(argv=None) -> None:
         lambda_l1=args.lambda_L1, lr=args.lr, image_size=args.image_size,
         ngf=args.ngf, ndf=args.ndf, bf16=args.bf16,
     )
-    mesh = None
-    if args.n_devices > 1:
+    mesh, tp = None, args.tp_devices > 1
+    if tp:
+        from art_sbir_tpu.parallel import mesh_2d
+
+        mesh = mesh_2d(max(args.n_devices, 1), args.tp_devices)
+        print(f"mesh: {max(args.n_devices, 1)} data x {args.tp_devices} "
+              "model devices", flush=True)
+    elif args.n_devices > 1:
         from art_sbir_tpu.parallel import data_mesh
 
         mesh = data_mesh(args.n_devices)
         print(f"data mesh: {mesh.devices.size} devices", flush=True)
-    model = Pix2Pix(cfg, jax.random.key(args.seed), mesh=mesh)
+    model = Pix2Pix(cfg, jax.random.key(args.seed), mesh=mesh, tp=tp)
     if args.model:
         from art_sbir_tpu.core.checkpoint import load_pytree
 

@@ -65,7 +65,8 @@ class Pix2Pix:
     over ICI under GSPMD — the DP result equals the single-device run
     (``tests/test_sharding.py::test_pix2pix_dp_matches_single_device``)."""
 
-    def __init__(self, cfg: Pix2PixConfig, rng: jax.Array, mesh=None):
+    def __init__(self, cfg: Pix2PixConfig, rng: jax.Array, mesh=None,
+                 tp: bool = False):
         self.cfg = cfg
         self.mesh = mesh
         self.criterion = GANLoss(cfg.gan_mode)
@@ -83,10 +84,19 @@ class Pix2Pix:
         self.g = self._mk_state(self.net_g, kg, xa, tx)
         self.d = self._mk_state(self.net_d, kd, xab, tx)
         if mesh is not None:
-            from art_sbir_tpu.parallel import replicated
+            if tp:
+                # channel-shard G/D params + Adam moments over the mesh's
+                # 'model' axis (parallel/tensor.py trailing-dim rule);
+                # batches still shard over 'data' via shard_or_replicate
+                from art_sbir_tpu.parallel import tp_place
 
-            self.g = jax.device_put(self.g, replicated(mesh))
-            self.d = jax.device_put(self.d, replicated(mesh))
+                self.g = tp_place(mesh, self.g)
+                self.d = tp_place(mesh, self.d)
+            else:
+                from art_sbir_tpu.parallel import replicated
+
+                self.g = jax.device_put(self.g, replicated(mesh))
+                self.d = jax.device_put(self.d, replicated(mesh))
         # donate g/d so both towers' params + Adam state update in place
         # (the trainer always rebinds self.g/self.d from the outputs)
         self._train_step = jax.jit(self._step, static_argnames=("decoder_only",),

@@ -76,7 +76,8 @@ class VAETrainer:
     same discipline as the triplet and GAN trainers
     (``tests/test_sharding.py::test_vae_dp_matches_single_device``)."""
 
-    def __init__(self, cfg: VAEConfig, rng: jax.Array, mesh=None):
+    def __init__(self, cfg: VAEConfig, rng: jax.Array, mesh=None,
+                 tp: bool = False):
         self.cfg = cfg
         self.mesh = mesh
         self.model = Photo2Sketch(
@@ -101,9 +102,17 @@ class VAETrainer:
             tx=tx,
         )
         if mesh is not None:
-            from art_sbir_tpu.parallel import replicated
+            if tp:
+                # channel-shard params + Adam moments over the 'model'
+                # axis (LSTM gate matrices shard on their concatenated
+                # 4H trailing dim; GSPMD resolves the gate slicing)
+                from art_sbir_tpu.parallel import tp_place
 
-            self.state = jax.device_put(self.state, replicated(mesh))
+                self.state = tp_place(mesh, self.state)
+            else:
+                from art_sbir_tpu.parallel import replicated
+
+                self.state = jax.device_put(self.state, replicated(mesh))
         # donate the train state: params/Adam state update in place
         # (train_step always rebinds self.state from the output)
         self._train = jax.jit(self._train_step, donate_argnums=(0,))

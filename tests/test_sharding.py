@@ -437,3 +437,55 @@ def test_fused_sharded_routing_gates_on_data_axis(rng, monkeypatch):
     assert r0["topk_acc"] == r1["topk_acc"]
     np.testing.assert_allclose(r0["mean_reciprocal_rank"],
                                r1["mean_reciprocal_rank"], rtol=1e-6)
+
+
+def test_pix2pix_tp_matches_single_device(rng):
+    """GAN tensor parallelism: G/D params + Adam moments channel-sharded
+    over the 'model' axis of a 2x4 mesh, batch sharded over 'data' —
+    losses equal the single-device step (f32 compute throughout)."""
+    from art_sbir_tpu.parallel.tensor import mesh_2d
+    from art_sbir_tpu.train.gan import Pix2Pix, Pix2PixConfig
+
+    cfg = Pix2PixConfig(image_size=32, ngf=8, ndf=8)
+    batch = {
+        "A": rng.random((8, 32, 32, 3)).astype(np.float32),
+        "B": rng.random((8, 32, 32, 1)).astype(np.float32),
+    }
+    single = Pix2Pix(cfg, jax.random.key(0))
+    tp = Pix2Pix(cfg, jax.random.key(0), mesh=mesh_2d(2, 4), tp=True)
+    # the placement really is tensor-parallel, not replicated
+    assert any("model" in str(l.sharding.spec)
+               for l in jax.tree_util.tree_leaves(tp.g.params)
+               if hasattr(l, "sharding"))
+
+    for step_key in (1, 2):
+        l1 = single.train_step(batch, jax.random.key(step_key))
+        l2 = tp.train_step(batch, jax.random.key(step_key))
+        for k in l1:
+            assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-4,
+                                                 abs=1e-5), k
+
+
+def test_vae_tp_matches_single_device(rng):
+    """VAE tensor parallelism: LSTM gate matrices shard on their
+    concatenated 4H trailing dim; losses equal single-device."""
+    from art_sbir_tpu.parallel.tensor import mesh_2d
+    from art_sbir_tpu.train.vae import VAEConfig, VAETrainer
+
+    cfg = VAEConfig(z_size=8, dec_rnn_size=16, num_mixture=3, max_seq_len=10,
+                    image_size=32)
+    batch = {
+        "photo": rng.random((8, 32, 32, 3)).astype(np.float32),
+        "sketch_vector": rng.random((8, 10, 5)).astype(np.float32),
+    }
+    single = VAETrainer(cfg, jax.random.key(0))
+    tp = VAETrainer(cfg, jax.random.key(0), mesh=mesh_2d(2, 4), tp=True)
+    assert any("model" in str(l.sharding.spec)
+               for l in jax.tree_util.tree_leaves(tp.state.params)
+               if hasattr(l, "sharding"))
+    for step_key in (1, 2):
+        l1 = single.train_step(batch, jax.random.key(step_key))
+        l2 = tp.train_step(batch, jax.random.key(step_key))
+        for k in l1:
+            assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-4,
+                                                 abs=1e-5), k
