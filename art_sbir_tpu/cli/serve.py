@@ -95,10 +95,19 @@ def build_engine(args):
                           x, train=False)
         return out[0] if isinstance(out, tuple) else out
 
+    mesh = None
+    if args.n_devices > 1:
+        from art_sbir_tpu.parallel import data_mesh
+
+        mesh = data_mesh(args.n_devices)
+        print(f"serving mesh: {mesh.devices.size} devices "
+              "(row-sharded gallery)", flush=True)
+
     def kw():
         return dict(metric=loss_type, image_size=image_size,
                     resize_mode=resize_mode or "square", k_max=args.k_max,
-                    max_batch=args.max_batch, capacity=args.capacity)
+                    max_batch=args.max_batch, capacity=args.capacity,
+                    mesh=mesh)
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -207,6 +216,10 @@ def main(argv=None):
     p.add_argument("--k_max", type=int, default=10)
     p.add_argument("--capacity", type=int, default=None,
                    help="fixed index capacity; enables online POST /add")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="row-shard the resident gallery over this many "
+                        "devices (first mesh axis); rows (or capacity) "
+                        "must divide it")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

@@ -104,13 +104,21 @@ class RetrievalEngine:
         k_max: int = 10,
         max_batch: int = 32,
         capacity: Optional[int] = None,
+        mesh=None,
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`).
         The gallery is padded to a fixed ``capacity`` rows so programs
         compile once (static shapes, the TPU way); live rows are selected
         by an ``arange(capacity) < n_valid`` mask passed as a traced
         scalar, so adds never recompile. Without it the index is
-        immutable (and large galleries route through the fused kernel)."""
+        immutable (and large galleries route through the fused kernel).
+
+        ``mesh``: serve a ROW-SHARDED resident gallery over a device
+        mesh — each chip holds N/n_shards rows (first mesh axis), ranks
+        them locally, and XLA all-gathers only the tiny (B, k) partials
+        over ICI. Requires the (padded) row count to divide the first
+        mesh axis; online adds write into the sharded buffer via the
+        same jitted ``dynamic_update_slice`` under GSPMD."""
         n0 = int(gallery_features.shape[0])
         if n0 == 0 and capacity is None:
             raise ValueError("cannot serve an empty gallery "
@@ -128,6 +136,7 @@ class RetrievalEngine:
         self._lock = threading.Lock()  # guards gallery/n_valid/paths
 
         self.capacity = capacity
+        self.mesh = mesh
         if capacity is not None:
             if capacity < max(n0, 1):
                 raise ValueError(
@@ -142,6 +151,20 @@ class RetrievalEngine:
             self.gallery = jnp.asarray(gallery_features, jnp.float32)
             self.n_valid = n0
             self.k_max = min(k_max, n0)
+
+        if mesh is not None:
+            from art_sbir_tpu.parallel.mesh import gallery_sharding
+
+            n_shards = int(mesh.shape[mesh.axis_names[0]])
+            rows = int(self.gallery.shape[0])
+            if rows % n_shards:
+                raise ValueError(
+                    f"gallery rows {rows} (pad with capacity=) must divide "
+                    f"the mesh's first axis ({n_shards}) for row-sharded "
+                    "serving")
+            self.gallery = jax.device_put(
+                self.gallery, gallery_sharding(
+                    mesh, axis_name=mesh.axis_names[0]))
 
         # same gallery-size routing as offline eval (rank.py): below the
         # measured crossover one fused XLA program (embed -> (B, N)
@@ -204,13 +227,18 @@ class RetrievalEngine:
         with self._lock:  # consistent (gallery, n_valid) snapshot
             gallery, n_valid = self.gallery, self.n_valid
         if self.use_fused:
-            from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
+            from art_sbir_tpu.ops.retrieval_pallas import (
+                retrieve_fused, retrieve_fused_sharded)
 
             emb = self._embed(jnp.asarray(images_u8))
-            _, vals, idx = retrieve_fused(
-                emb, gallery,
-                jnp.zeros(emb.shape[0], jnp.int32),  # pos unused in serving
-                k=self.k_max, metric=self.metric)
+            pos = jnp.zeros(emb.shape[0], jnp.int32)  # unused in serving
+            if self.mesh is not None:
+                _, vals, idx = retrieve_fused_sharded(
+                    emb, gallery, pos, self.mesh, k=self.k_max,
+                    metric=self.metric)
+            else:
+                _, vals, idx = retrieve_fused(
+                    emb, gallery, pos, k=self.k_max, metric=self.metric)
             if self.metric == "euclidean":  # kernel reports squared dists
                 vals = jnp.sqrt(vals)
         else:

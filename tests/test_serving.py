@@ -160,7 +160,7 @@ def served_run(tmp_path_factory):
             results_root=str(root / "results"), models_root="models",
             feature_root="data/image_features", data_root=str(sketchy),
             metric=None, k_max=5, max_batch=4, window_ms=1.0,
-            embed_batch=32, capacity=None)
+            embed_batch=32, capacity=None, n_devices=1)
         engine, batcher = build_engine(args)
         httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                     make_handler(engine, batcher))
@@ -416,3 +416,89 @@ def test_microbatcher_bad_k_fails_only_its_request(tiny_engine):
             assert results[i]["paths"] == [f"gallery/img_{i}.png"]
     finally:
         batcher.close()
+
+
+# ------------------------------------------------------- sharded serving
+
+def test_engine_row_sharded_matches_unsharded(tiny_engine):
+    """A mesh-served engine (row-sharded resident gallery, XLA all-gathers
+    the (B, k) partials) returns exactly the unsharded engine's results."""
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.parallel import data_mesh
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    sharded = RetrievalEngine(
+        eng._forward, np.asarray(eng.gallery), eng.image_paths,
+        metric="euclidean", image_size=eng.image_size, k_max=5,
+        max_batch=8, mesh=data_mesh(8))
+    v0, i0 = eng.search_arrays(imgs[[3, 11, 7]])
+    v1, i1 = sharded.search_arrays(imgs[[3, 11, 7]])
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=2e-2)
+
+
+def test_engine_sharded_online_adds(tiny_engine):
+    """capacity + mesh: online adds write into the row-sharded buffer
+    under GSPMD and are immediately searchable."""
+    from art_sbir_tpu.parallel import data_mesh
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    _, imgs = tiny_engine
+    eng8, _ = _mk_capacity_engine(imgs, n0=2, capacity=8)
+    # rebuild the same index sharded
+    import jax.numpy as jnp
+
+    sharded = RetrievalEngine(
+        eng8._forward, np.asarray(eng8.gallery[:2]), eng8.image_paths[:2],
+        metric="euclidean", image_size=16, k_max=10, max_batch=8,
+        capacity=8, mesh=data_mesh(8))
+    idx = sharded.add_images([(_png_bytes(imgs[i]), f"added/img_{i}.png")
+                              for i in (5, 6, 7)])
+    assert idx == [2, 3, 4]
+    out = sharded.search(_png_bytes(imgs[6]))
+    assert out["paths"][0] == "added/img_6.png"
+    assert len(out["paths"]) == 5  # live rows only
+
+
+def test_engine_sharded_requires_divisible_rows(tiny_engine):
+    from art_sbir_tpu.parallel import data_mesh
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, _ = tiny_engine
+    with pytest.raises(ValueError, match="divide"):
+        RetrievalEngine(eng._forward, np.asarray(eng.gallery[:6]),
+                        eng.image_paths[:6], image_size=16,
+                        mesh=data_mesh(8))
+
+
+def test_engine_fused_sharded_route(tiny_engine, monkeypatch):
+    """mesh + past-crossover gallery: the engine streams each shard
+    through the Pallas sweep (interpret on CPU) and merges the (B, k)
+    partials — results match the plain XLA engine."""
+    import jax.numpy as jnp
+
+    import art_sbir_tpu.retrieval.rank as rank_mod
+    from art_sbir_tpu.parallel import data_mesh
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    _, imgs = tiny_engine
+
+    def forward(x_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
+        return x.reshape(x.shape[0], -1)
+
+    rng = np.random.default_rng(5)
+    gal = rng.standard_normal((1024, 16 * 16 * 3)).astype(np.float32)
+    paths = [f"g/{i}.jpg" for i in range(1024)]
+    plain = RetrievalEngine(forward, gal, paths, image_size=16, k_max=5,
+                            max_batch=8)
+    monkeypatch.setattr(rank_mod, "FUSED_GALLERY_THRESHOLD", 512)
+    fused = RetrievalEngine(forward, gal, paths, image_size=16, k_max=5,
+                            max_batch=8, mesh=data_mesh(8))
+    assert fused.use_fused
+    v0, i0 = plain.search_arrays(imgs[[0, 9]])
+    v1, i1 = fused.search_arrays(imgs[[0, 9]])
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=2e-2)
