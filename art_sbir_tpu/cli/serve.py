@@ -16,6 +16,9 @@ Endpoints
   -> ``{"paths": [...], "distances": [...]}`` (ascending)
 * ``POST /add`` with ``{"image_b64": ..., "path": "name.jpg"}`` -> online
   index update (requires ``--capacity``; static shapes, never recompiles)
+* ``POST /remove`` with ``{"paths": [...]}`` -> tombstone those slots
+  (reused by later adds); ``POST /save`` -> persist live rows as a
+  standard feature cache
 
 Gallery sources (mutually exclusive):
 * ``--folder <run>``: restore the run's checkpoint (like cli/inference.py)
@@ -166,7 +169,7 @@ def make_handler(engine, batcher):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/search", "/add", "/save"):
+            if self.path not in ("/search", "/add", "/remove", "/save"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -175,6 +178,11 @@ def make_handler(engine, batcher):
                 if self.path == "/save":
                     self._json(200, {"folder": engine.save(
                         dataset_name=req.get("dataset_name", "online"))})
+                    return
+                if self.path == "/remove":
+                    freed = engine.remove(req["paths"])
+                    self._json(200, {"removed": freed,
+                                     "gallery_size": int(engine.n_valid)})
                     return
                 data = base64.b64decode(req["image_b64"])
                 if self.path == "/add":

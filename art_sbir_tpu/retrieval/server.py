@@ -106,12 +106,14 @@ class RetrievalEngine:
         capacity: Optional[int] = None,
         mesh=None,
     ):
-        """``capacity``: enable ONLINE index updates (:meth:`add_images`).
-        The gallery is padded to a fixed ``capacity`` rows so programs
-        compile once (static shapes, the TPU way); live rows are selected
-        by an ``arange(capacity) < n_valid`` mask passed as a traced
-        scalar, so adds never recompile. Without it the index is
-        immutable (and large galleries route through the fused kernel).
+        """``capacity``: enable ONLINE index updates (:meth:`add_images`,
+        :meth:`remove`). The gallery is padded to a fixed ``capacity``
+        rows so programs compile once (static shapes, the TPU way); live
+        rows are selected by a (capacity,) bool mask passed as a TRACED
+        array, so adds, removals and the searches racing them never
+        recompile. Removed slots are tombstoned in the mask and reused by
+        later adds. Without ``capacity`` the index is immutable (and
+        large galleries route through the fused kernel).
 
         ``mesh``: serve a ROW-SHARDED resident gallery over a device
         mesh — each chip holds N/n_shards rows (first mesh axis), ranks
@@ -145,26 +147,33 @@ class RetrievalEngine:
                              np.float32)
             feats[:n0] = np.asarray(gallery_features, np.float32)
             self.gallery = jnp.asarray(feats)
-            self.n_valid = n0
             self.k_max = min(k_max, capacity)
         else:
             self.gallery = jnp.asarray(gallery_features, jnp.float32)
-            self.n_valid = n0
             self.k_max = min(k_max, n0)
+        rows = int(self.gallery.shape[0])
+        # live-row mask (device); slot bookkeeping (host, under _lock)
+        self._mask = jnp.arange(rows) < n0
+        self.n_valid = n0
+        self._next = n0  # next never-used slot
+        self._free: List[int] = []  # tombstoned slots, reused by adds
 
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from art_sbir_tpu.parallel.mesh import gallery_sharding
 
-            n_shards = int(mesh.shape[mesh.axis_names[0]])
-            rows = int(self.gallery.shape[0])
+            ax = mesh.axis_names[0]
+            n_shards = int(mesh.shape[ax])
             if rows % n_shards:
                 raise ValueError(
                     f"gallery rows {rows} (pad with capacity=) must divide "
                     f"the mesh's first axis ({n_shards}) for row-sharded "
                     "serving")
             self.gallery = jax.device_put(
-                self.gallery, gallery_sharding(
-                    mesh, axis_name=mesh.axis_names[0]))
+                self.gallery, gallery_sharding(mesh, axis_name=ax))
+            self._mask = jax.device_put(
+                self._mask, NamedSharding(mesh, P(ax)))
 
         # same gallery-size routing as offline eval (rank.py): below the
         # measured crossover one fused XLA program (embed -> (B, N)
@@ -186,24 +195,28 @@ class RetrievalEngine:
             return emb.astype(jnp.float32)
 
         def program(images_u8: jax.Array, gallery: jax.Array,
-                    n_valid: jax.Array):
+                    mask: jax.Array):
             dist = pairwise_distance(embed(images_u8), gallery,
                                      metric=self.metric)
-            valid = jnp.arange(gallery.shape[0]) < n_valid
-            return top_k(dist, self.k_max, valid=valid)
+            return top_k(dist, self.k_max, valid=mask)
 
-        def append_rows(gallery: jax.Array, rows: jax.Array,
-                        at: jax.Array) -> jax.Array:
-            return jax.lax.dynamic_update_slice(gallery, rows, (at, 0))
+        def set_row(gallery: jax.Array, row: jax.Array,
+                    at: jax.Array) -> jax.Array:
+            return jax.lax.dynamic_update_slice(gallery, row[None], (at, 0))
+
+        def set_mask(mask: jax.Array, at: jax.Array,
+                     val: jax.Array) -> jax.Array:
+            return jax.lax.dynamic_update_slice(mask, val[None], (at,))
 
         # one jit each; distinct batch buckets become distinct compiled
         # executables under the same callable (shape-keyed cache).
-        # append_rows deliberately does NOT donate the gallery buffer: a
-        # concurrently-dispatched search may still hold the old array, and
-        # donation would delete it under that dispatch.
+        # set_row/set_mask deliberately do NOT donate their buffers: a
+        # concurrently-dispatched search may still hold the old arrays,
+        # and donation would delete them under that dispatch.
         self._embed = jax.jit(embed)
         self._program = jax.jit(program)
-        self._append_rows = jax.jit(append_rows)
+        self._set_row = jax.jit(set_row)
+        self._set_mask = jax.jit(set_mask)
 
     # ------------------------------------------------------------ queries
 
@@ -224,8 +237,8 @@ class RetrievalEngine:
         if bucket != b:
             pad = np.zeros((bucket - b, *images_u8.shape[1:]), np.uint8)
             images_u8 = np.concatenate([images_u8, pad])
-        with self._lock:  # consistent (gallery, n_valid) snapshot
-            gallery, n_valid = self.gallery, self.n_valid
+        with self._lock:  # consistent (gallery, mask) snapshot
+            gallery, mask = self.gallery, self._mask
         if self.use_fused:
             from art_sbir_tpu.ops.retrieval_pallas import (
                 retrieve_fused, retrieve_fused_sharded)
@@ -242,16 +255,16 @@ class RetrievalEngine:
             if self.metric == "euclidean":  # kernel reports squared dists
                 vals = jnp.sqrt(vals)
         else:
-            vals, idx = self._program(jnp.asarray(images_u8), gallery,
-                                      jnp.int32(n_valid))
+            vals, idx = self._program(jnp.asarray(images_u8), gallery, mask)
         return np.asarray(vals[:b]), np.asarray(idx[:b])
 
     def add_images(self, items: Sequence[Tuple[bytes, str]]) -> List[int]:
         """Online index update: decode + embed each (image_bytes, path)
-        and append to the next free rows. Requires ``capacity`` mode.
-        Returns the assigned gallery indices. Never recompiles: the row
-        write is one jitted donated dynamic_update_slice per image and
-        queries mask by the traced ``n_valid`` scalar."""
+        and write it into a free slot — tombstoned (removed) slots are
+        reused first, then never-used capacity. Requires ``capacity``
+        mode. Returns the assigned slot indices. Never recompiles: each
+        write is a jitted dynamic_update_slice and queries select live
+        rows by the traced mask."""
         if self.capacity is None:
             raise ValueError("immutable index: construct with capacity= "
                              "to enable add_images")
@@ -268,12 +281,47 @@ class RetrievalEngine:
             if self.n_valid + b > self.capacity:
                 raise ValueError(
                     f"index full: {self.n_valid}+{b} > {self.capacity}")
-            start = self.n_valid
-            self.gallery = self._append_rows(self.gallery, emb,
-                                             jnp.int32(start))
-            self.image_paths.extend(p for _, p in items)
-            self.n_valid = start + b  # publish last
-        return list(range(start, start + b))
+            slots = []
+            for i in range(b):
+                slot = self._free.pop() if self._free else self._next
+                if slot == self._next:
+                    self._next += 1
+                slots.append(slot)
+            gallery, mask = self.gallery, self._mask
+            for i, slot in enumerate(slots):
+                gallery = self._set_row(gallery, emb[i], jnp.int32(slot))
+                mask = self._set_mask(mask, jnp.int32(slot),
+                                      jnp.asarray(True))
+                if slot < len(self.image_paths):
+                    self.image_paths[slot] = items[i][1]
+                else:
+                    self.image_paths.append(items[i][1])
+            self.gallery = gallery
+            self._mask = mask
+            self.n_valid += b  # publish last
+        return slots
+
+    def remove(self, paths: Sequence[str]) -> List[int]:
+        """Tombstone the slots serving these paths (first match each);
+        their rows stop appearing in results immediately and the slots
+        are reused by later adds. Returns the freed slot indices."""
+        if self.capacity is None:
+            raise ValueError("immutable index: construct with capacity= "
+                             "to enable remove")
+        with self._lock:
+            freed = []
+            for p in paths:
+                try:
+                    slot = self.image_paths.index(p)
+                except ValueError:
+                    raise KeyError(f"path not in index: {p}") from None
+                self.image_paths[slot] = None  # tombstone
+                self._mask = self._set_mask(self._mask, jnp.int32(slot),
+                                            jnp.asarray(False))
+                self._free.append(slot)
+                freed.append(slot)
+            self.n_valid -= len(freed)
+        return freed
 
     def save(self, model_name: str = "ServedIndex",
              dataset_name: str = "online",
@@ -284,10 +332,14 @@ class RetrievalEngine:
         from art_sbir_tpu.retrieval.embed import save_image_features
 
         with self._lock:  # snapshot refs only; transfer outside the lock
-            gallery, n_valid = self.gallery, self.n_valid
+            gallery, mask = self.gallery, self._mask
             paths = list(self.image_paths)
-        feats = np.asarray(gallery[:n_valid], np.float32)
-        return save_image_features(model_name, dataset_name, paths, feats,
+        live = np.flatnonzero(np.asarray(mask))
+        # gather live rows on device; transfer only those to host
+        feats = np.asarray(jnp.take(gallery, jnp.asarray(live), axis=0),
+                           np.float32)
+        return save_image_features(model_name, dataset_name,
+                                   [paths[i] for i in live], feats,
                                    root=root)
 
     def search(self, image_bytes: bytes, k: Optional[int] = None) -> Dict:

@@ -502,3 +502,64 @@ def test_engine_fused_sharded_route(tiny_engine, monkeypatch):
     v1, i1 = fused.search_arrays(imgs[[0, 9]])
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=2e-2)
+
+
+def test_engine_remove_and_slot_reuse(tiny_engine):
+    """Removals tombstone immediately (no recompiles) and later adds
+    reuse the freed slot; save persists only live rows."""
+    _, imgs = tiny_engine
+    eng, forward = _mk_capacity_engine(imgs, n0=3, capacity=4)
+
+    out = eng.search(_png_bytes(imgs[1]))
+    assert out["paths"][0] == "gallery/img_1.png"
+
+    freed = eng.remove(["gallery/img_1.png"])
+    assert freed == [1] and eng.n_valid == 2
+    out = eng.search(_png_bytes(imgs[1]))
+    assert "gallery/img_1.png" not in out["paths"]
+    assert len(out["paths"]) == 2
+
+    # the freed slot is reused before untouched capacity
+    idx = eng.add_images([(_png_bytes(imgs[9]), "reused.png")])
+    assert idx == [1] and eng.n_valid == 3
+    out = eng.search(_png_bytes(imgs[9]))
+    assert out["paths"][0] == "reused.png"
+
+    with pytest.raises(KeyError, match="not in index"):
+        eng.remove(["gallery/img_1.png"])  # already tombstoned
+
+
+def test_engine_save_excludes_removed(tmp_path, tiny_engine):
+    from art_sbir_tpu.retrieval.server import engine_from_feature_cache
+
+    _, imgs = tiny_engine
+    eng, forward = _mk_capacity_engine(imgs, n0=3, capacity=8)
+    eng.remove(["gallery/img_0.png"])
+    folder = eng.save(root=tmp_path)
+    eng2 = engine_from_feature_cache(
+        forward, folder, root=tmp_path, metric="euclidean",
+        image_size=16, k_max=3, max_batch=4)
+    assert eng2.n_valid == 2
+    assert "gallery/img_0.png" not in eng2.image_paths
+
+
+def test_http_remove_endpoint(tiny_engine):
+    from art_sbir_tpu.cli.serve import make_handler
+    from art_sbir_tpu.retrieval.server import MicroBatcher
+
+    _, imgs = tiny_engine
+    eng, _ = _mk_capacity_engine(imgs, n0=3, capacity=8)
+    batcher = MicroBatcher(eng, window_ms=0.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(eng, batcher))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    try:
+        code, out = _post(port, "/remove",
+                          {"paths": ["gallery/img_2.png"]})
+        assert code == 200 and out == {"removed": [2], "gallery_size": 2}
+        code, out = _post(port, "/remove", {"paths": ["nope.png"]})
+        assert code == 400
+    finally:
+        httpd.shutdown()
+        batcher.close()
