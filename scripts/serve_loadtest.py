@@ -45,6 +45,10 @@ def main() -> None:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke mode)")
+    p.add_argument("--churn", action="store_true",
+                   help="run the gallery as an online index and mutate it "
+                        "(add/remove via HTTP) from one extra thread while "
+                        "the search clients hammer it")
     args = p.parse_args()
 
     import jax
@@ -76,7 +80,8 @@ def main() -> None:
     gallery = rng.standard_normal((args.gallery, args.dim)).astype(np.float32)
     engine = RetrievalEngine(
         forward, gallery, [f"img_{i}" for i in range(args.gallery)],
-        image_size=s, k_max=10, max_batch=args.max_batch)
+        image_size=s, k_max=10, max_batch=args.max_batch,
+        capacity=args.gallery + 64 if args.churn else None)
     batcher = MicroBatcher(engine, window_ms=args.window_ms)
 
     log(f"warming compile for all batch buckets {engine.buckets}...")
@@ -119,6 +124,30 @@ def main() -> None:
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(args.clients)]
+    mutations = [0]
+    if args.churn:
+        def churner():
+            url = f"http://127.0.0.1:{port}"
+            img = rng.integers(0, 256, (s, s, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            i = 0
+            while not stop.is_set():
+                name = f"churn_{i}.png"
+                for path, payload in (("/add", {"image_b64": b64,
+                                                "path": name}),
+                                      ("/remove", {"paths": [name]})):
+                    req = urllib.request.Request(
+                        f"{url}{path}", data=json.dumps(payload).encode(),
+                        headers={"Content-Type": "application/json"})
+                    with urllib.request.urlopen(req) as r:
+                        json.loads(r.read())
+                    mutations[0] += 1
+                i += 1
+                time.sleep(0.05)
+
+        threads.append(threading.Thread(target=churner))
     t_start = time.perf_counter()
     for t in threads:
         t.start()
@@ -132,10 +161,13 @@ def main() -> None:
     qps = len(lat) / elapsed
     pct = lambda q: float(lat[min(int(q * len(lat)), len(lat) - 1)]) * 1e3
     stats = batcher.stats.snapshot()
+    churn_msg = (f" | {mutations[0]} index mutations interleaved"
+                 if args.churn else "")
     log(f"requests {len(lat)} in {elapsed:.1f}s | "
         f"p50 {pct(0.50):.2f} ms  p95 {pct(0.95):.2f} ms  "
         f"p99 {pct(0.99):.2f} ms | mean coalesced batch "
-        f"{stats['mean_batch']:.2f} ({stats['batches']} dispatches)")
+        f"{stats['mean_batch']:.2f} ({stats['batches']} dispatches)"
+        f"{churn_msg}")
     print(json.dumps({
         "metric": "serving_http_qps",
         "value": round(qps, 1),
