@@ -61,7 +61,7 @@ def main(argv=None) -> None:
                         "default = reference f32 semantics")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices over the ICI mesh (0 = "
-                        "single device)")
+                        "single device, -1 = all available)")
     p.add_argument("--tp_devices", type=int, default=1,
                    help="tensor-parallel (model-axis) devices on a 2-D "
                         "(data, model) mesh; combines with --n_devices")
@@ -76,18 +76,9 @@ def main(argv=None) -> None:
         grad_clip=args.grad_clip, image_size=args.image_size,
         bf16_encoder=args.bf16,
     )
-    mesh, tp = None, args.tp_devices > 1
-    if tp:
-        from art_sbir_tpu.parallel import mesh_2d
+    from art_sbir_tpu.parallel.mesh import mesh_from_args
 
-        mesh = mesh_2d(max(args.n_devices, 1), args.tp_devices)
-        print(f"mesh: {max(args.n_devices, 1)} data x {args.tp_devices} "
-              "model devices", flush=True)
-    elif args.n_devices > 1:
-        from art_sbir_tpu.parallel import data_mesh
-
-        mesh = data_mesh(args.n_devices)
-        print(f"data mesh: {mesh.devices.size} devices", flush=True)
+    mesh, tp = mesh_from_args(args.n_devices, args.tp_devices)
     trainer = VAETrainer(cfg, jax.random.key(args.seed), mesh=mesh, tp=tp)
     if args.model:
         restored = load_pytree(args.model, {"params": trainer.state.params})

@@ -75,7 +75,7 @@ def main(argv=None) -> None:
                    help="epoch to resume from (0 = latest)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices over the ICI mesh (0 = single "
-                        "device): G+D states replicate, batches shard on dim "
+                        "device, -1 = all available): G+D states replicate, batches shard on dim "
                         "0, XLA all-reduces both gradient sets")
     p.add_argument("--tp_devices", type=int, default=1,
                    help="tensor-parallel (model-axis) devices: G/D params + "
@@ -88,18 +88,9 @@ def main(argv=None) -> None:
         lambda_l1=args.lambda_L1, lr=args.lr, image_size=args.image_size,
         ngf=args.ngf, ndf=args.ndf, bf16=args.bf16,
     )
-    mesh, tp = None, args.tp_devices > 1
-    if tp:
-        from art_sbir_tpu.parallel import mesh_2d
+    from art_sbir_tpu.parallel.mesh import mesh_from_args
 
-        mesh = mesh_2d(max(args.n_devices, 1), args.tp_devices)
-        print(f"mesh: {max(args.n_devices, 1)} data x {args.tp_devices} "
-              "model devices", flush=True)
-    elif args.n_devices > 1:
-        from art_sbir_tpu.parallel import data_mesh
-
-        mesh = data_mesh(args.n_devices)
-        print(f"data mesh: {mesh.devices.size} devices", flush=True)
+    mesh, tp = mesh_from_args(args.n_devices, args.tp_devices)
     model = Pix2Pix(cfg, jax.random.key(args.seed), mesh=mesh, tp=tp)
     if args.model:
         from art_sbir_tpu.core.checkpoint import load_pytree

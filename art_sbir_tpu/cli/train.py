@@ -175,29 +175,21 @@ def main(argv=None) -> Path:
         state = state.replace(**restored)
         print(f"Model {args.model} loaded", flush=True)
 
-    mesh = None
+    from art_sbir_tpu.parallel.mesh import mesh_from_args
+
+    mesh, tp = mesh_from_args(args.n_devices, args.tp_devices,
+                              multihost=args.multihost)
     place_state = lambda st: st  # re-place after checkpoint restores
-    if args.tp_devices > 1:
-        from art_sbir_tpu.parallel import mesh_2d, tp_place
+    if mesh is not None:
+        if tp:
+            from art_sbir_tpu.parallel import tp_place
 
-        if args.multihost:
-            raise SystemExit("--tp_devices is single-host (combine with "
-                             "--n_devices for in-host data parallelism)")
-        n_data = (max(len(jax.devices()) // args.tp_devices, 1)
-                  if args.n_devices < 0 else max(args.n_devices, 1))
-        mesh = mesh_2d(n_data, args.tp_devices)
-        place_state = lambda st: tp_place(mesh, st)
-        state = place_state(state)
-        print(f"mesh: {n_data} data x {args.tp_devices} model devices "
-              "(params/opt-state/BN stats channel-sharded)", flush=True)
-    elif args.n_devices != 1:
-        from art_sbir_tpu.parallel import data_mesh, replicated
+            place_state = lambda st: tp_place(mesh, st)
+        else:
+            from art_sbir_tpu.parallel import replicated
 
-        n = None if args.n_devices < 0 else args.n_devices
-        mesh = data_mesh(n)
-        place_state = lambda st: jax.device_put(st, replicated(mesh))
+            place_state = lambda st: jax.device_put(st, replicated(mesh))
         state = place_state(state)
-        print(f"data mesh: {mesh.devices.size} devices", flush=True)
 
     augment_version = getattr(train_cat, "augment_sketches", 0)
     flip = augment_version > 0

@@ -118,6 +118,35 @@ def shard_or_replicate(mesh: Optional[Mesh], batch: dict,
     return shard_batch(mesh, batch, axis_name)
 
 
+def mesh_from_args(n_devices: int, tp_devices: int = 1,
+                   multihost: bool = False):
+    """Shared CLI mesh construction -> (mesh | None, tp: bool).
+
+    ``n_devices``: data-parallel shards (1/0 = single device, -1 = all
+    available — with TP, all available divided by ``tp_devices``).
+    ``tp_devices`` > 1 builds a 2-D (data, model) mesh for
+    channel-sharded params (:mod:`art_sbir_tpu.parallel.tensor`);
+    single-host only."""
+    if tp_devices > 1:
+        from art_sbir_tpu.parallel.tensor import mesh_2d
+
+        if multihost:
+            raise SystemExit(
+                "--tp_devices is single-host (combine with --n_devices "
+                "for in-host data parallelism)")
+        n_data = (max(len(jax.devices()) // tp_devices, 1)
+                  if n_devices < 0 else max(n_devices, 1))
+        mesh = mesh_2d(n_data, tp_devices)
+        print(f"mesh: {n_data} data x {tp_devices} model devices "
+              "(params/opt-state/BN stats channel-sharded)", flush=True)
+        return mesh, True
+    if n_devices > 1 or n_devices < 0:
+        mesh = data_mesh(None if n_devices < 0 else n_devices)
+        print(f"data mesh: {mesh.devices.size} devices", flush=True)
+        return mesh, False
+    return None, False
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of ``m`` that is >= ``n``."""
     return ((n + m - 1) // m) * m

@@ -1,17 +1,22 @@
 """Load-test the HTTP serving stack end-to-end (in-process server).
 
-Builds the flagship serving setup — bf16 ModifiedResNet50 query encoder +
-a random (N, 1024) resident gallery — starts `cli/serve`'s HTTP handler on
-an ephemeral localhost port IN THIS PROCESS (one process owns the chip;
-see CLAUDE.md on the tunnel serializing clients), then hammers it with
-concurrent client threads posting base64 PNG queries.
+Builds the flagship serving setup — bf16 ModifiedResNet50 query encoder
+with the PRODUCTION preprocessing (`train.prepare.finish_gallery_batch`,
+the same forward `cli/serve.py` builds) + a random (N, 1024) resident
+gallery — starts `cli/serve`'s HTTP handler on an ephemeral localhost
+port IN THIS PROCESS (one process owns the chip; see CLAUDE.md on the
+tunnel serializing clients), then hammers it with concurrent client
+threads posting base64 PNG queries.
 
 Reports per-request latency percentiles (client-observed, full stack:
 HTTP + base64 + PIL decode + micro-batch window + device dispatch + one
-host drain) and the achieved qps, plus the server's coalescing counters.
+host drain) and the achieved qps, plus the server's coalescing counters
+and any failed requests (a failure count != 0 means the numbers are not
+clean).
 
 Usage: python scripts/serve_loadtest.py [--clients 8] [--seconds 20]
        [--gallery 10000] [--window_ms 2] [--image_size 224] [--cpu]
+       [--churn]
 """
 
 from __future__ import annotations
@@ -29,6 +34,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+EMBED_DIM = 1024  # ModifiedResNet50 output_dim — the gallery must match
+REQUEST_TIMEOUT_S = 600  # covers a cold compile behind a stalled request
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -39,7 +47,6 @@ def main() -> None:
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--seconds", type=float, default=20.0)
     p.add_argument("--gallery", type=int, default=10_000)
-    p.add_argument("--dim", type=int, default=1024)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--image_size", type=int, default=224)
@@ -63,8 +70,8 @@ def main() -> None:
     from art_sbir_tpu.cli.serve import make_handler
     from art_sbir_tpu.core.cache import enable_compilation_cache
     from art_sbir_tpu.models.resnet import ModifiedResNet
-    from art_sbir_tpu.ops.resize import CLIP_MEAN, CLIP_STD, normalize
     from art_sbir_tpu.retrieval.server import MicroBatcher, RetrievalEngine
+    from art_sbir_tpu.train.prepare import finish_gallery_batch
 
     enable_compilation_cache()
     s = args.image_size
@@ -73,11 +80,12 @@ def main() -> None:
         jax.random.key(0), jnp.zeros((8, s, s, 3), jnp.float32), train=False)
 
     def forward(im_u8):
-        f = normalize(im_u8.astype(jnp.bfloat16) / 255.0, CLIP_MEAN, CLIP_STD)
-        return model.apply(variables, f, train=False)
+        # the exact serving forward (cli/serve.py::build_engine)
+        return model.apply(variables, finish_gallery_batch(im_u8),
+                           train=False)
 
     rng = np.random.default_rng(0)
-    gallery = rng.standard_normal((args.gallery, args.dim)).astype(np.float32)
+    gallery = rng.standard_normal((args.gallery, EMBED_DIM)).astype(np.float32)
     engine = RetrievalEngine(
         forward, gallery, [f"img_{i}" for i in range(args.gallery)],
         image_size=s, k_max=10, max_batch=args.max_batch,
@@ -87,6 +95,9 @@ def main() -> None:
     log(f"warming compile for all batch buckets {engine.buckets}...")
     for b in engine.buckets:
         engine.search_arrays(np.zeros((b, s, s, 3), np.uint8))
+    if args.churn:  # the add path uses the standalone embed program
+        engine.add_images([(png_bytes(rng, s, Image), "warm_add.png")])
+        engine.remove(["warm_add.png"])
 
     httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                 make_handler(engine, batcher))
@@ -97,73 +108,87 @@ def main() -> None:
     # distinct query images, pre-encoded to base64 PNG on the client side
     payloads = []
     for i in range(args.clients):
-        img = rng.integers(0, 256, (s, s, 3)).astype(np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="PNG")
         payloads.append(json.dumps({
-            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "image_b64": base64.b64encode(png_bytes(rng, s, Image)).decode(),
             "k": 10}).encode())
 
     latencies: list = []
+    failures = [0]
     lock = threading.Lock()
     stop = threading.Event()
 
+    def post(url: str, data: bytes) -> None:
+        req = urllib.request.Request(
+            url, data=data, headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=REQUEST_TIMEOUT_S) as r:
+            json.loads(r.read())
+
     def client(i: int) -> None:
         url = f"http://127.0.0.1:{port}/search"
-        mine = []
         while not stop.is_set():
             t0 = time.perf_counter()
-            req = urllib.request.Request(
-                url, data=payloads[i],
-                headers={"Content-Type": "application/json"})
-            with urllib.request.urlopen(req) as r:
-                json.loads(r.read())
-            mine.append(time.perf_counter() - t0)
-        with lock:
-            latencies.extend(mine)
+            try:
+                post(url, payloads[i])
+            except Exception as e:  # count, keep hammering
+                with lock:
+                    failures[0] += 1
+                log(f"client {i} request failed: {type(e).__name__}: {e}")
+                continue
+            with lock:
+                latencies.append(time.perf_counter() - t0)
 
-    threads = [threading.Thread(target=client, args=(i,))
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
                for i in range(args.clients)]
     mutations = [0]
     if args.churn:
         def churner():
             url = f"http://127.0.0.1:{port}"
-            img = rng.integers(0, 256, (s, s, 3)).astype(np.uint8)
-            buf = io.BytesIO()
-            Image.fromarray(img).save(buf, format="PNG")
-            b64 = base64.b64encode(buf.getvalue()).decode()
+            b64 = base64.b64encode(png_bytes(rng, s, Image)).decode()
             i = 0
             while not stop.is_set():
                 name = f"churn_{i}.png"
-                for path, payload in (("/add", {"image_b64": b64,
-                                                "path": name}),
-                                      ("/remove", {"paths": [name]})):
-                    req = urllib.request.Request(
-                        f"{url}{path}", data=json.dumps(payload).encode(),
-                        headers={"Content-Type": "application/json"})
-                    with urllib.request.urlopen(req) as r:
-                        json.loads(r.read())
-                    mutations[0] += 1
+                try:
+                    post(f"{url}/add", json.dumps(
+                        {"image_b64": b64, "path": name}).encode())
+                    post(f"{url}/remove",
+                         json.dumps({"paths": [name]}).encode())
+                    mutations[0] += 2
+                except Exception as e:
+                    with lock:
+                        failures[0] += 1
+                    log(f"churner failed: {type(e).__name__}: {e}")
                 i += 1
                 time.sleep(0.05)
 
-        threads.append(threading.Thread(target=churner))
+        threads.append(threading.Thread(target=churner, daemon=True))
     t_start = time.perf_counter()
     for t in threads:
         t.start()
     time.sleep(args.seconds)
     stop.set()
-    for t in threads:
+    for t in threads:  # daemon threads: a stuck request can't hang exit
         t.join(timeout=60)
     elapsed = time.perf_counter() - t_start
 
-    lat = np.sort(np.asarray(latencies))
-    qps = len(lat) / elapsed
-    pct = lambda q: float(lat[min(int(q * len(lat)), len(lat) - 1)]) * 1e3
+    with lock:
+        lat = np.sort(np.asarray(latencies))
+        n_fail = failures[0]
     stats = batcher.stats.snapshot()
+    if not len(lat):
+        log(f"NO successful requests ({n_fail} failures) — no numbers")
+        print(json.dumps({"metric": "serving_http_qps", "value": 0.0,
+                          "unit": "requests/sec", "failures": n_fail}))
+        return
+    qps = len(lat) / elapsed
+
+    def pct(q: float) -> float:  # nearest-rank percentile
+        import math
+
+        return float(lat[max(math.ceil(q * len(lat)) - 1, 0)]) * 1e3
+
     churn_msg = (f" | {mutations[0]} index mutations interleaved"
                  if args.churn else "")
-    log(f"requests {len(lat)} in {elapsed:.1f}s | "
+    log(f"requests {len(lat)} ok / {n_fail} failed in {elapsed:.1f}s | "
         f"p50 {pct(0.50):.2f} ms  p95 {pct(0.95):.2f} ms  "
         f"p99 {pct(0.99):.2f} ms | mean coalesced batch "
         f"{stats['mean_batch']:.2f} ({stats['batches']} dispatches)"
@@ -177,9 +202,18 @@ def main() -> None:
         "p95_ms": round(pct(0.95), 2),
         "p99_ms": round(pct(0.99), 2),
         "mean_batch": round(stats["mean_batch"], 2),
+        "failures": n_fail,
     }))
     httpd.shutdown()
     batcher.close()
+
+
+def png_bytes(rng, size: int, Image) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(
+        rng.integers(0, 256, (size, size, 3)).astype("uint8")
+    ).save(buf, format="PNG")
+    return buf.getvalue()
 
 
 if __name__ == "__main__":
