@@ -489,3 +489,24 @@ def test_vae_tp_matches_single_device(rng):
         for k in l1:
             assert float(l2[k]) == pytest.approx(float(l1[k]), rel=1e-4,
                                                  abs=1e-5), k
+
+
+def test_mesh_from_args_semantics():
+    """Shared CLI mesh construction: -1 = all devices (divided by the TP
+    axis when present), 0/1 = single device, TP+multihost rejected."""
+    from art_sbir_tpu.parallel.mesh import mesh_from_args
+
+    assert mesh_from_args(1) == (None, False)
+    assert mesh_from_args(0) == (None, False)
+
+    mesh, tp = mesh_from_args(-1)
+    assert not tp and mesh.devices.size == len(jax.devices())
+
+    mesh, tp = mesh_from_args(2, 4)
+    assert tp and dict(mesh.shape) == {"data": 2, "model": 4}
+
+    mesh, tp = mesh_from_args(-1, 4)  # all 8 devices -> 2x4
+    assert tp and dict(mesh.shape) == {"data": 2, "model": 4}
+
+    with pytest.raises(SystemExit, match="single-host"):
+        mesh_from_args(2, 4, multihost=True)
