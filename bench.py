@@ -386,8 +386,36 @@ def bench_serving(rtt: float) -> None:
             f"({b/best:,.0f} qps incl. encode + one host drain)")
 
 
+def tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe backend init in a SUBPROCESS with a timeout: when the axon
+    relay is down, ``jax.devices()`` blocks indefinitely in-process (the
+    plugin retries the dial forever), which would hang the whole bench.
+    The child exits before we proceed, so the serialized tunnel is free."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     from art_sbir_tpu.core.cache import enable_compilation_cache
+
+    if not tpu_reachable():
+        log("TPU backend unreachable (axon relay down?) — failing fast "
+            "instead of hanging; no measurements this run")
+        print(json.dumps({
+            "metric": "retrieval_query_qps_10k_gallery",
+            "value": 0.0,
+            "unit": "queries/sec",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (relay down); see stderr",
+        }))
+        return
 
     enable_compilation_cache()
     rtt = measure_rtt()
