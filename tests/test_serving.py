@@ -563,3 +563,41 @@ def test_http_remove_endpoint(tiny_engine):
     finally:
         httpd.shutdown()
         batcher.close()
+
+
+def test_serve_cli_features_mode(served_run, tmp_path):
+    """build_engine's --features branch: restore only the query encoder
+    and serve a saved gallery cache instead of re-embedding."""
+    import argparse
+
+    from art_sbir_tpu.cli.serve import build_engine
+
+    engine, port, sketchy = served_run
+    folder = engine.save(root=tmp_path)
+
+    args = argparse.Namespace(
+        folder=Path(engine._run_folder).name if hasattr(
+            engine, "_run_folder") else None,
+        features=folder, results_root="results", models_root="models",
+        feature_root=str(tmp_path), data_root=str(sketchy),
+        metric=None, k_max=5, max_batch=4, window_ms=1.0,
+        embed_batch=32, capacity=None, n_devices=1)
+    # reuse the fixture's run folder name (cwd is restored outside the
+    # fixture, so resolve the run folder from its results_root)
+    runs = sorted(Path(sketchy).parent.glob("results/*"))
+    args.folder = runs[0].name
+    args.results_root = str(Path(sketchy).parent / "results")
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(Path(sketchy).parent)  # models/ + caches live there
+    try:
+        eng2, batcher2 = build_engine(args)
+        assert eng2.n_valid == engine.n_valid
+        assert eng2.image_paths == engine.image_paths
+        q = next((Path(sketchy) / "sketches_png").rglob("*.png"))
+        out = eng2.search(q.read_bytes())
+        assert len(out["paths"]) >= 1
+        batcher2.close()
+    finally:
+        os.chdir(cwd)
