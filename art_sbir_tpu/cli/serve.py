@@ -14,6 +14,8 @@ Endpoints
 * ``GET /stats``  -> request/batch counters (mean coalesced batch size)
 * ``POST /search`` with JSON ``{"image_b64": <base64 PNG/JPEG>, "k": 10}``
   -> ``{"paths": [...], "distances": [...]}`` (ascending)
+* ``POST /search_batch`` with ``{"images_b64": [...], "k": 10}`` -> one
+  device dispatch for the whole batch, ``{"results": [...]}``
 * ``POST /add`` with ``{"image_b64": ..., "path": "name.jpg"}`` -> online
   index update (requires ``--capacity``; static shapes, never recompiles)
 * ``POST /remove`` with ``{"paths": [...]}`` -> tombstone those slots
@@ -169,7 +171,8 @@ def make_handler(engine, batcher):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/search", "/add", "/remove", "/save"):
+            if self.path not in ("/search", "/search_batch", "/add",
+                                 "/remove", "/save"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -183,6 +186,19 @@ def make_handler(engine, batcher):
                     freed = engine.remove(req["paths"])
                     self._json(200, {"removed": freed,
                                      "gallery_size": int(engine.n_valid)})
+                    return
+                if self.path == "/search_batch":
+                    # bulk client: the whole batch is ONE device dispatch
+                    # (bypasses the micro-batcher; it is already a batch)
+                    import numpy as np
+
+                    imgs = np.stack([
+                        engine.decode(base64.b64decode(b))
+                        for b in req["images_b64"]])
+                    vals, idx = engine.search_arrays(imgs)
+                    self._json(200, {"results": [
+                        engine._result(vals[i], idx[i], req.get("k"))
+                        for i in range(len(imgs))]})
                     return
                 data = base64.b64decode(req["image_b64"])
                 if self.path == "/add":

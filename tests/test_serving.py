@@ -601,3 +601,28 @@ def test_serve_cli_features_mode(served_run, tmp_path):
         batcher2.close()
     finally:
         os.chdir(cwd)
+
+
+def test_http_search_batch(tiny_engine):
+    """Bulk endpoint: one dispatch for a client-supplied batch; per-query
+    results in order."""
+    from art_sbir_tpu.cli.serve import make_handler
+    from art_sbir_tpu.retrieval.server import MicroBatcher
+
+    eng, imgs = tiny_engine
+    batcher = MicroBatcher(eng, window_ms=0.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(eng, batcher))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    try:
+        b64 = lambda i: base64.b64encode(_png_bytes(imgs[i])).decode()
+        code, out = _post(port, "/search_batch",
+                          {"images_b64": [b64(4), b64(12), b64(0)], "k": 1})
+        assert code == 200
+        tops = [r["paths"][0] for r in out["results"]]
+        assert tops == ["gallery/img_4.png", "gallery/img_12.png",
+                        "gallery/img_0.png"]
+    finally:
+        httpd.shutdown()
+        batcher.close()
