@@ -112,7 +112,7 @@ def build_engine(args):
         return dict(metric=loss_type, image_size=image_size,
                     resize_mode=resize_mode or "square", k_max=args.k_max,
                     max_batch=args.max_batch, capacity=args.capacity,
-                    mesh=mesh)
+                    mesh=mesh, quantize=args.quantize)
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -244,6 +244,9 @@ def main(argv=None):
                    help="row-shard the resident gallery over this many "
                         "devices (first mesh axis); rows (or capacity) "
                         "must divide it")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 candidate scan + exact rerank (ops/quant.py;"
+                        " immutable single-device indexes only)")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

@@ -1,0 +1,123 @@
+"""Int8-quantized retrieval with exact re-ranking.
+
+Scale lever beyond the bf16 fused stream (`ops/retrieval_pallas.py`): the
+v5e MXU runs int8 dots at 2x the bf16 rate, and an int8-resident gallery
+is half the HBM traffic of bf16 / a quarter of f32 — at the 1M-row regime
+where retrieval is bandwidth-bound, that is the next 2x.
+
+Decomposition (euclidean): ``d^2 = |q|^2 - 2 q.g + |g|^2``. The row norms
+``|g|^2`` are precomputed EXACTLY in f32 at quantization time and ``|q|^2``
+exactly per query — only the cross term is approximated, as
+``q.g ~= s_q * s_g * (q8 . g8)`` with symmetric per-row scales
+(``s = max|x| / 127``) and an int32-accumulated int8 matmul
+(``preferred_element_type=int32`` puts it on the MXU's int path).
+Candidates are selected by approximate distance with a safety multiple
+``rerank_factor * k``, then re-ranked EXACTLY on gathered f32 rows, so
+top-k quality degrades only when a true top-k row falls outside the
+candidate set — measured by :func:`topk_overlap` and regression-locked in
+``tests/test_ops_quant.py`` (exact top-k equality on separated data,
+>=99% overlap on adversarially-flat random data).
+
+Cosine: rows are L2-normalized before quantization, so the same int8 dot
+approximates the cosine similarity and ``1 - sim`` re-ranks exactly.
+
+No reference counterpart (`/root/reference/inference.py:43-56` is a f32
+torch per-query loop) — this is a beyond-reference scale feature.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from art_sbir_tpu.ops.distance import cosine_distance, euclidean_distance
+
+
+class QuantGallery(NamedTuple):
+    """Int8 gallery + exact f32 row norms (euclidean) or None (cosine)."""
+
+    q8: jax.Array          # (N, D) int8
+    scale: jax.Array       # (N,) f32 per-row symmetric scale
+    sq_norm: jax.Array     # (N,) f32 exact |g|^2 (zeros for cosine)
+    metric: str
+
+
+def quantize_gallery(gallery: jax.Array, metric: str = "euclidean"
+                     ) -> QuantGallery:
+    """Symmetric per-row int8 quantization; cosine pre-normalizes rows."""
+    g = jnp.asarray(gallery, jnp.float32)
+    if metric == "cosine":
+        g = g / jnp.maximum(jnp.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+    scale = jnp.maximum(jnp.max(jnp.abs(g), axis=1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(g / scale[:, None]), -127, 127).astype(jnp.int8)
+    sq = (jnp.sum(g * g, axis=1) if metric == "euclidean"
+          else jnp.zeros(g.shape[0], jnp.float32))
+    return QuantGallery(q8, scale, sq, metric)
+
+
+def _quantize_queries(q: jax.Array, metric: str
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    qf = jnp.asarray(q, jnp.float32)
+    if metric == "cosine":
+        qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
+                              1e-12)
+    s = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(qf / s[:, None]), -127, 127).astype(jnp.int8)
+    return q8, s, qf
+
+
+def retrieve_quantized(
+    queries: jax.Array,
+    qg: QuantGallery,
+    gallery_f32: jax.Array,
+    k: int = 10,
+    rerank_factor: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """(top-k values, indices), int8 candidate scan + exact f32 rerank.
+
+    ``gallery_f32`` is the exact gallery used ONLY for the (Q, R, D)
+    candidate gather (R = rerank_factor*k rows per query — tiny next to
+    the (Q, N) matrix the exact path materializes). Values match the
+    exact path's contract (eps-folded sqrt distances / 1 - cos).
+    """
+    k = min(k, qg.q8.shape[0])
+    r = min(max(rerank_factor * k, k), qg.q8.shape[0])
+    q8, s_q, _ = _quantize_queries(queries, qg.metric)
+
+    # int8 MXU cross term, int32 accumulation
+    dot = jax.lax.dot_general(
+        q8, qg.q8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (s_q[:, None] * qg.scale[None, :])
+
+    if qg.metric == "euclidean":
+        approx = qg.sq_norm[None, :] - 2.0 * dot  # |q|^2 is rank-constant
+    else:
+        approx = -dot  # 1 - sim ranks like -sim
+
+    # candidate set by approximate score
+    _, cand = jax.lax.top_k(-approx, r)  # (Q, R) ascending approx distance
+
+    # exact rerank on gathered rows — the library row-wise forms, so the
+    # reported values match the exact path's torch-parity contract
+    rows = jnp.take(jnp.asarray(gallery_f32, jnp.float32), cand, axis=0)
+    qx = jnp.asarray(queries, jnp.float32)[:, None, :]  # un-normalized
+    if qg.metric == "euclidean":
+        exact = euclidean_distance(qx, rows)
+    else:
+        exact = cosine_distance(qx, rows)
+    neg_vals, pos_in_cand = jax.lax.top_k(-exact, k)
+    idx = jnp.take_along_axis(cand, pos_in_cand, axis=1)
+    return -neg_vals, idx
+
+
+def topk_overlap(idx_a: jax.Array, idx_b: jax.Array) -> float:
+    """Mean per-query overlap |A ∩ B| / k between two (Q, k) index sets —
+    the recall-quality metric for approximate modes."""
+    import numpy as np
+
+    a, b = np.asarray(idx_a), np.asarray(idx_b)
+    inter = [len(set(ra) & set(rb)) for ra, rb in zip(a, b)]
+    return float(np.mean(inter)) / a.shape[1]

@@ -105,6 +105,7 @@ class RetrievalEngine:
         max_batch: int = 32,
         capacity: Optional[int] = None,
         mesh=None,
+        quantize: bool = False,
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`,
         :meth:`remove`). The gallery is padded to a fixed ``capacity``
@@ -120,7 +121,12 @@ class RetrievalEngine:
         them locally, and XLA all-gathers only the tiny (B, k) partials
         over ICI. Requires the (padded) row count to divide the first
         mesh axis; online adds write into the sharded buffer via the
-        same jitted ``dynamic_update_slice`` under GSPMD."""
+        same jitted ``dynamic_update_slice`` under GSPMD.
+
+        ``quantize``: int8 candidate scan + exact rerank
+        (:mod:`art_sbir_tpu.ops.quant` — 2x MXU rate / 4x less gallery
+        read bandwidth than f32 on the cross term). Immutable
+        single-device indexes only."""
         n0 = int(gallery_features.shape[0])
         if n0 == 0 and capacity is None:
             raise ValueError("cannot serve an empty gallery "
@@ -188,6 +194,16 @@ class RetrievalEngine:
                           and self.gallery.shape[0] >= FUSED_GALLERY_THRESHOLD
                           and self.k_max <= 128)
 
+        self._qg = None
+        if quantize:
+            if capacity is not None or mesh is not None:
+                raise ValueError("quantize=True serves immutable "
+                                 "single-device indexes only")
+            from art_sbir_tpu.ops.quant import quantize_gallery
+
+            self._qg = quantize_gallery(self.gallery, metric)
+            self.use_fused = False  # int8 scan replaces both routes
+
         def embed(images_u8: jax.Array) -> jax.Array:
             emb = self._forward(images_u8)
             if isinstance(emb, (tuple, list)):  # classification models
@@ -239,7 +255,13 @@ class RetrievalEngine:
             images_u8 = np.concatenate([images_u8, pad])
         with self._lock:  # consistent (gallery, mask) snapshot
             gallery, mask = self.gallery, self._mask
-        if self.use_fused:
+        if self._qg is not None:
+            from art_sbir_tpu.ops.quant import retrieve_quantized
+
+            emb = self._embed(jnp.asarray(images_u8))
+            vals, idx = retrieve_quantized(emb, self._qg, gallery,
+                                           k=self.k_max)
+        elif self.use_fused:
             from art_sbir_tpu.ops.retrieval_pallas import (
                 retrieve_fused, retrieve_fused_sharded)
 

@@ -370,20 +370,25 @@ def bench_serving(rtt: float) -> None:
 
     rng = np.random.default_rng(7)
     gallery = rng.standard_normal((N_GALLERY, DIM)).astype(np.float32)
-    eng = RetrievalEngine(
-        forward, gallery, [f"img_{i}" for i in range(N_GALLERY)],
-        image_size=224, k_max=10, max_batch=32)
-    for b in (1, 8, 32):
-        q = rng.integers(0, 256, (b, 224, 224, 3)).astype(np.uint8)
-        eng.search_arrays(q)  # warm compile for this bucket
-        best = float("inf")
-        for _ in range(ROUNDS):
-            t0 = time.perf_counter()
-            for _ in range(3):
-                eng.search_arrays(q)  # incl. host result transfer
-            best = min(best, (time.perf_counter() - t0) / 3)
-        log(f"serving fused query program b={b}: {best*1e3:.2f} ms/req "
-            f"({b/best:,.0f} qps incl. encode + one host drain)")
+    paths = [f"img_{i}" for i in range(N_GALLERY)]
+    engines = [("exact", RetrievalEngine(
+        forward, gallery, paths, image_size=224, k_max=10, max_batch=32))]
+    engines.append(("int8+rerank", RetrievalEngine(
+        forward, gallery, paths, image_size=224, k_max=10, max_batch=32,
+        quantize=True)))
+    for tag, eng in engines:
+        for b in (1, 8, 32):
+            q = rng.integers(0, 256, (b, 224, 224, 3)).astype(np.uint8)
+            eng.search_arrays(q)  # warm compile for this bucket
+            best = float("inf")
+            for _ in range(ROUNDS):
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    eng.search_arrays(q)  # incl. host result transfer
+                best = min(best, (time.perf_counter() - t0) / 3)
+            log(f"serving query program [{tag}] b={b}: "
+                f"{best*1e3:.2f} ms/req "
+                f"({b/best:,.0f} qps incl. encode + one host drain)")
 
 
 def tpu_reachable(timeout_s: float = 240.0) -> bool:

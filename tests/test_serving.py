@@ -626,3 +626,24 @@ def test_http_search_batch(tiny_engine):
     finally:
         httpd.shutdown()
         batcher.close()
+
+
+def test_engine_quantized_route_matches_xla(tiny_engine):
+    """quantize=True (int8 candidate scan + exact rerank) reproduces the
+    exact engine's indices on self-retrieval queries."""
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    q8 = RetrievalEngine(
+        eng._forward, np.asarray(eng.gallery), eng.image_paths,
+        metric="euclidean", image_size=eng.image_size, k_max=5,
+        max_batch=8, quantize=True)
+    v0, i0 = eng.search_arrays(imgs[[2, 13]])
+    v1, i1 = q8.search_arrays(imgs[[2, 13]])
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=2e-2)
+
+    with pytest.raises(ValueError, match="immutable"):
+        RetrievalEngine(eng._forward, np.asarray(eng.gallery),
+                        eng.image_paths, image_size=16, capacity=32,
+                        quantize=True)
