@@ -80,3 +80,17 @@ def test_topk_overlap_metric():
     a = np.array([[1, 2, 3], [4, 5, 6]])
     b = np.array([[1, 2, 9], [7, 8, 9]])
     assert topk_overlap(a, b) == pytest.approx((2 / 3 + 0) / 2)
+
+
+def test_quantized_chunked_matches_unchunked(rng):
+    from art_sbir_tpu.ops.quant import retrieve_quantized_chunked
+
+    n, d, q, k = 256, 64, 40, 5
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    qs = gal[:q] + 0.05 * rng.standard_normal((q, d)).astype(np.float32)
+    qg = quantize_gallery(jnp.asarray(gal))
+    v0, i0 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal), k=k)
+    v1, i1 = retrieve_quantized_chunked(jnp.asarray(qs), qg,
+                                        jnp.asarray(gal), k=k, chunk=16)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
