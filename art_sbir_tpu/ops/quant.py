@@ -7,7 +7,7 @@ where retrieval is bandwidth-bound, that is the next 2x.
 
 Decomposition (euclidean): ``d^2 = |q|^2 - 2 q.g + |g|^2``. The row norms
 ``|g|^2`` are precomputed EXACTLY in f32 at quantization time and ``|q|^2``
-exactly per query — only the cross term is approximated, as
+is rank-constant — only the cross term is approximated, as
 ``q.g ~= s_q * s_g * (q8 . g8)`` with symmetric per-row scales
 (``s = max|x| / 127``) and an int32-accumulated int8 matmul
 (``preferred_element_type=int32`` puts it on the MXU's int path).
@@ -16,7 +16,9 @@ Candidates are selected by approximate distance with a safety multiple
 top-k quality degrades only when a true top-k row falls outside the
 candidate set — measured by :func:`topk_overlap` and regression-locked in
 ``tests/test_ops_quant.py`` (exact top-k equality on separated data,
->=99% overlap on adversarially-flat random data).
+>=97% overlap locked on adversarially-flat random data, both metrics).
+Exact-distance ties re-rank by GALLERY INDEX, matching the exact path's
+documented tie order (`ops/distance.py`).
 
 Cosine: rows are L2-normalized before quantization, so the same int8 dot
 approximates the cosine similarity and ``1 - sim`` re-ranks exactly.
@@ -27,6 +29,7 @@ torch per-query loop) — this is a beyond-reference scale feature.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -34,9 +37,12 @@ import jax.numpy as jnp
 
 from art_sbir_tpu.ops.distance import cosine_distance, euclidean_distance
 
+_METRICS = ("euclidean", "cosine")
+
 
 class QuantGallery(NamedTuple):
-    """Int8 gallery + exact f32 row norms (euclidean) or None (cosine)."""
+    """Int8 gallery + exact f32 row norms (euclidean) or zeros (cosine).
+    ``metric`` is host-side metadata (kept out of the jitted core)."""
 
     q8: jax.Array          # (N, D) int8
     scale: jax.Array       # (N,) f32 per-row symmetric scale
@@ -44,28 +50,76 @@ class QuantGallery(NamedTuple):
     metric: str
 
 
+def _symmetric_quantize(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(rows,) -> (int8 rows, per-row scale), symmetric max-abs/127."""
+    scale = jnp.maximum(jnp.max(jnp.abs(rows), axis=1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(rows / scale[:, None]), -127, 127)
+    return q8.astype(jnp.int8), scale
+
+
+def _l2_normalize(x: jax.Array) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
 def quantize_gallery(gallery: jax.Array, metric: str = "euclidean"
                      ) -> QuantGallery:
     """Symmetric per-row int8 quantization; cosine pre-normalizes rows."""
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
     g = jnp.asarray(gallery, jnp.float32)
     if metric == "cosine":
-        g = g / jnp.maximum(jnp.linalg.norm(g, axis=1, keepdims=True), 1e-12)
-    scale = jnp.maximum(jnp.max(jnp.abs(g), axis=1), 1e-12) / 127.0
-    q8 = jnp.clip(jnp.round(g / scale[:, None]), -127, 127).astype(jnp.int8)
+        g = _l2_normalize(g)
+    q8, scale = _symmetric_quantize(g)
     sq = (jnp.sum(g * g, axis=1) if metric == "euclidean"
           else jnp.zeros(g.shape[0], jnp.float32))
     return QuantGallery(q8, scale, sq, metric)
 
 
-def _quantize_queries(q: jax.Array, metric: str
-                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    qf = jnp.asarray(q, jnp.float32)
-    if metric == "cosine":
-        qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
-                              1e-12)
-    s = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-12) / 127.0
-    q8 = jnp.clip(jnp.round(qf / s[:, None]), -127, 127).astype(jnp.int8)
-    return q8, s, qf
+@functools.partial(jax.jit, static_argnames=("metric", "k", "r"))
+def _quant_core(
+    queries: jax.Array,
+    g8: jax.Array,
+    g_scale: jax.Array,
+    g_sq: jax.Array,
+    gallery_f32: jax.Array,
+    *,
+    metric: str,
+    k: int,
+    r: int,
+) -> Tuple[jax.Array, jax.Array]:
+    qf = jnp.asarray(queries, jnp.float32)
+    qn = _l2_normalize(qf) if metric == "cosine" else qf
+    q8, s_q = _symmetric_quantize(qn)
+
+    # int8 MXU cross term, int32 accumulation
+    dot = jax.lax.dot_general(
+        q8, g8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (s_q[:, None] * g_scale[None, :])
+
+    if metric == "euclidean":
+        approx = g_sq[None, :] - 2.0 * dot  # |q|^2 is rank-constant
+    else:
+        approx = -dot  # 1 - sim ranks like -sim
+
+    # candidate set by approximate score, then SORT BY GALLERY INDEX so
+    # the stable exact-rerank argsort breaks exact-distance ties by index
+    # (the exact path's documented tie order)
+    _, cand = jax.lax.top_k(-approx, r)  # (Q, R)
+    cand = jnp.sort(cand, axis=1)
+
+    # exact rerank on gathered rows — the library row-wise forms, so the
+    # reported values match the exact path's torch-parity contract
+    rows = jnp.take(jnp.asarray(gallery_f32, jnp.float32), cand, axis=0)
+    qx = qf[:, None, :]  # un-normalized, like the exact path
+    if metric == "euclidean":
+        exact = euclidean_distance(qx, rows)
+    else:
+        exact = cosine_distance(qx, rows)
+    order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
+    vals = jnp.take_along_axis(exact, order, axis=1)
+    idx = jnp.take_along_axis(cand, order, axis=1)
+    return vals, idx
 
 
 def retrieve_quantized(
@@ -77,40 +131,15 @@ def retrieve_quantized(
 ) -> Tuple[jax.Array, jax.Array]:
     """(top-k values, indices), int8 candidate scan + exact f32 rerank.
 
-    ``gallery_f32`` is the exact gallery used ONLY for the (Q, R, D)
-    candidate gather (R = rerank_factor*k rows per query — tiny next to
-    the (Q, N) matrix the exact path materializes). Values match the
-    exact path's contract (eps-folded sqrt distances / 1 - cos).
-    """
+    One jitted program (metric/k/rerank static). ``gallery_f32`` is the
+    exact gallery used ONLY for the (Q, R, D) candidate gather
+    (R = rerank_factor*k rows per query — tiny next to the (Q, N) matrix
+    the exact path materializes). Values match the exact path's contract
+    (eps-folded distances / 1 - cos)."""
     k = min(k, qg.q8.shape[0])
     r = min(max(rerank_factor * k, k), qg.q8.shape[0])
-    q8, s_q, _ = _quantize_queries(queries, qg.metric)
-
-    # int8 MXU cross term, int32 accumulation
-    dot = jax.lax.dot_general(
-        q8, qg.q8, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (s_q[:, None] * qg.scale[None, :])
-
-    if qg.metric == "euclidean":
-        approx = qg.sq_norm[None, :] - 2.0 * dot  # |q|^2 is rank-constant
-    else:
-        approx = -dot  # 1 - sim ranks like -sim
-
-    # candidate set by approximate score
-    _, cand = jax.lax.top_k(-approx, r)  # (Q, R) ascending approx distance
-
-    # exact rerank on gathered rows — the library row-wise forms, so the
-    # reported values match the exact path's torch-parity contract
-    rows = jnp.take(jnp.asarray(gallery_f32, jnp.float32), cand, axis=0)
-    qx = jnp.asarray(queries, jnp.float32)[:, None, :]  # un-normalized
-    if qg.metric == "euclidean":
-        exact = euclidean_distance(qx, rows)
-    else:
-        exact = cosine_distance(qx, rows)
-    neg_vals, pos_in_cand = jax.lax.top_k(-exact, k)
-    idx = jnp.take_along_axis(cand, pos_in_cand, axis=1)
-    return -neg_vals, idx
+    return _quant_core(queries, qg.q8, qg.scale, qg.sq_norm, gallery_f32,
+                       metric=qg.metric, k=k, r=r)
 
 
 def retrieve_quantized_chunked(
@@ -126,6 +155,10 @@ def retrieve_quantized_chunked(
     read per sweep is int8 — a quarter of the exact path's f32 traffic,
     which is the bound in the bandwidth-limited big-N regime."""
     nq = queries.shape[0]
+    if nq == 0:
+        ke = min(k, qg.q8.shape[0])
+        return (jnp.zeros((0, ke), jnp.float32),
+                jnp.zeros((0, ke), jnp.int32))
     outs = [retrieve_quantized(queries[i:i + chunk], qg, gallery_f32,
                                k=k, rerank_factor=rerank_factor)
             for i in range(0, nq, chunk)]

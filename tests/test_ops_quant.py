@@ -38,7 +38,8 @@ def test_quantized_exact_on_separated_data(rng, metric):
                                rtol=1e-4, atol=1e-3)
 
 
-def test_quantized_overlap_on_flat_random_data(rng):
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_quantized_overlap_on_flat_random_data(rng, metric):
     """Uniform random gallery = the hardest case (neighbor gaps are
     tiny); the rerank margin must still keep top-k overlap ~1."""
     n, d, q, k = 2048, 256, 64, 10
@@ -47,11 +48,16 @@ def test_quantized_overlap_on_flat_random_data(rng):
     pos = np.zeros(q, np.int32)
 
     _, _, i0 = retrieve(jnp.asarray(qs), jnp.asarray(gal),
-                        jnp.asarray(pos), k=k)
-    qg = quantize_gallery(jnp.asarray(gal))
+                        jnp.asarray(pos), k=k, metric=metric)
+    qg = quantize_gallery(jnp.asarray(gal), metric=metric)
     _, i1 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal), k=k)
     ov = topk_overlap(i0, i1)
     assert ov >= 0.97, ov
+
+
+def test_quantize_gallery_rejects_unknown_metric(rng):
+    with pytest.raises(ValueError, match="unknown metric"):
+        quantize_gallery(jnp.zeros((4, 8)), metric="l2")
 
 
 def test_quantized_k_clamps_and_shapes(rng):
@@ -82,15 +88,20 @@ def test_topk_overlap_metric():
     assert topk_overlap(a, b) == pytest.approx((2 / 3 + 0) / 2)
 
 
-def test_quantized_chunked_matches_unchunked(rng):
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_quantized_chunked_matches_unchunked(rng, metric):
     from art_sbir_tpu.ops.quant import retrieve_quantized_chunked
 
     n, d, q, k = 256, 64, 40, 5
     gal = rng.standard_normal((n, d)).astype(np.float32)
     qs = gal[:q] + 0.05 * rng.standard_normal((q, d)).astype(np.float32)
-    qg = quantize_gallery(jnp.asarray(gal))
+    qg = quantize_gallery(jnp.asarray(gal), metric=metric)
     v0, i0 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal), k=k)
     v1, i1 = retrieve_quantized_chunked(jnp.asarray(qs), qg,
                                         jnp.asarray(gal), k=k, chunk=16)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+
+    ve, ie = retrieve_quantized_chunked(jnp.asarray(qs[:0]), qg,
+                                        jnp.asarray(gal), k=k)
+    assert ve.shape == (0, k) and ie.shape == (0, k)
