@@ -100,8 +100,10 @@ def build_engine(args):
                           x, train=False)
         return out[0] if isinstance(out, tuple) else out
 
+    # getattr defaults: programmatic callers (tests, embedding apps) may
+    # build a partial Namespace; new flags must not break them
     mesh = None
-    if args.n_devices > 1:
+    if getattr(args, "n_devices", 1) > 1:
         from art_sbir_tpu.parallel import data_mesh
 
         mesh = data_mesh(args.n_devices)
@@ -110,9 +112,11 @@ def build_engine(args):
 
     def kw():
         return dict(metric=loss_type, image_size=image_size,
-                    resize_mode=resize_mode or "square", k_max=args.k_max,
-                    max_batch=args.max_batch, capacity=args.capacity,
-                    mesh=mesh, quantize=args.quantize)
+                    resize_mode=resize_mode or "square",
+                    k_max=getattr(args, "k_max", 10),
+                    max_batch=getattr(args, "max_batch", 32),
+                    capacity=getattr(args, "capacity", None),
+                    mesh=mesh, quantize=getattr(args, "quantize", False))
 
     if args.features:
         engine = engine_from_feature_cache(

@@ -160,7 +160,7 @@ def served_run(tmp_path_factory):
             results_root=str(root / "results"), models_root="models",
             feature_root="data/image_features", data_root=str(sketchy),
             metric=None, k_max=5, max_batch=4, window_ms=1.0,
-            embed_batch=32, capacity=None, n_devices=1)
+            embed_batch=32, capacity=None, n_devices=1, quantize=False)
         engine, batcher = build_engine(args)
         httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                     make_handler(engine, batcher))
@@ -581,7 +581,7 @@ def test_serve_cli_features_mode(served_run, tmp_path):
         features=folder, results_root="results", models_root="models",
         feature_root=str(tmp_path), data_root=str(sketchy),
         metric=None, k_max=5, max_batch=4, window_ms=1.0,
-        embed_batch=32, capacity=None, n_devices=1)
+        embed_batch=32, capacity=None, n_devices=1, quantize=False)
     # reuse the fixture's run folder name (cwd is restored outside the
     # fixture, so resolve the run folder from its results_root)
     runs = sorted(Path(sketchy).parent.glob("results/*"))
