@@ -34,6 +34,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from art_sbir_tpu.ops.distance import cosine_distance, euclidean_distance
 
@@ -107,9 +108,13 @@ def _quant_core(
     # (the exact path's documented tie order)
     _, cand = jax.lax.top_k(-approx, r)  # (Q, R)
     cand = jnp.sort(cand, axis=1)
+    return _rerank(qf, cand, gallery_f32, metric, k)
 
-    # exact rerank on gathered rows — the library row-wise forms, so the
-    # reported values match the exact path's torch-parity contract
+
+def _rerank(qf, cand, gallery_f32, metric, k):
+    """Exact rerank of index-sorted candidates on gathered f32 rows — the
+    library row-wise forms, so the reported values match the exact path's
+    torch-parity contract (stable argsort ties by gallery index)."""
     rows = jnp.take(jnp.asarray(gallery_f32, jnp.float32), cand, axis=0)
     qx = qf[:, None, :]  # un-normalized, like the exact path
     if metric == "euclidean":
@@ -120,6 +125,11 @@ def _quant_core(
     vals = jnp.take_along_axis(exact, order, axis=1)
     idx = jnp.take_along_axis(cand, order, axis=1)
     return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _rerank_jit(qf, cand, gallery_f32, *, metric, k):
+    return _rerank(qf, cand, gallery_f32, metric, k)
 
 
 def retrieve_quantized(
@@ -164,6 +174,64 @@ def retrieve_quantized_chunked(
             for i in range(0, nq, chunk)]
     return (jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]))
+
+
+def retrieve_quantized_fused(
+    queries: jax.Array,
+    qg: QuantGallery,
+    gallery_f32: jax.Array,
+    k: int = 10,
+    rerank_factor: int = 8,
+    tile_q: int | None = None,
+    tile_n: int | None = None,
+    interpret: bool | None = None,
+    depth: int = 4,
+    seg_reduce: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streamed int8 candidate scan (Pallas) + exact f32 rerank.
+
+    Same contract as :func:`retrieve_quantized`, but the candidate scan
+    runs through :func:`art_sbir_tpu.ops.retrieval_pallas.
+    quant_candidates_fused`: O(Q) running state instead of the (Q, N)
+    approx-score matrix, and the gallery streams as int8 — a quarter of
+    the fused f32 kernel's HBM read and half its bf16 mode, which is the
+    bound at the 1M-row regime. The kernel replicates the XLA scan's f32
+    op order, so candidate sets (and therefore final vals/idx) are
+    bit-identical whenever the per-row certificate passes; flagged rows
+    (per-lane file overflow / fold collisions / r-boundary ties — rate
+    set by ``depth``/``seg_reduce``/``r``, see
+    :func:`quant_candidates_fused`) recompute through
+    :func:`retrieve_quantized`, padded to power-of-two batches so the
+    fallback compiles O(log Q) shapes, not one per bad-row count.
+    """
+    from art_sbir_tpu.ops.retrieval_pallas import quant_candidates_fused
+
+    n = qg.q8.shape[0]
+    k = min(k, n)
+    r = min(max(rerank_factor * k, k), n, depth * 128)
+    qf = jnp.asarray(queries, jnp.float32)
+    qn = _l2_normalize(qf) if qg.metric == "cosine" else qf
+    q8, s_q = _symmetric_quantize(qn)
+    _, cand, cert = quant_candidates_fused(
+        q8, s_q, qg.q8, qg.scale, qg.sq_norm, r=r, metric=qg.metric,
+        tile_q=tile_q, tile_n=tile_n, interpret=interpret, depth=depth,
+        seg_reduce=seg_reduce)
+    cand = jnp.sort(cand, axis=1)
+    vals, idx = _rerank_jit(qf, cand, gallery_f32, metric=qg.metric, k=k)
+    cert_h = np.asarray(cert)
+    if cert_h.all():
+        return vals, idx
+    bad = np.nonzero(cert_h == 0)[0]
+    nbad = len(bad)
+    pad = 1 << (nbad - 1).bit_length() if nbad > 1 else 1
+    pad = min(pad, qf.shape[0])
+    sel = np.pad(bad, (0, pad - nbad), mode="edge")
+    vb, ib = retrieve_quantized(
+        jnp.take(queries, sel, axis=0), qg, gallery_f32, k=k,
+        rerank_factor=rerank_factor)
+    vals = jnp.asarray(np.asarray(vals)).at[bad].set(vb[:nbad])
+    idx = jnp.asarray(np.asarray(idx)).at[bad].set(ib[:nbad])
+    return vals, idx
 
 
 def topk_overlap(idx_a: jax.Array, idx_b: jax.Array) -> float:

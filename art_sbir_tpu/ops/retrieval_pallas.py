@@ -422,6 +422,235 @@ def retrieve_fused(
     return ranks, vals, idx
 
 
+def _quant_kernel(q8_ref, sq_ref, g8_ref, gsc_ref, gsq_ref,
+                  vals_ref, idx_ref, exact_ref,
+                  gs_ref, is_ref, ev_ref,
+                  r: int, tile_n: int, n_total: int, n_steps: int,
+                  depth: int, metric: str, seg_reduce: int):
+    """Int8 streaming candidate scan: per-lane top-``depth`` over the
+    APPROXIMATE int8 score, extracting the top-``r`` candidate set on the
+    last gallery tile. Same streaming structure as :func:`_kernel`, with
+    three differences: the gallery streams as int8 (quarter of the f32
+    HBM traffic) through an int8 MXU pass (``preferred_element_type=
+    int32`` — 2x the bf16 rate on v5e), the score is the exact-op-order
+    replica of :func:`art_sbir_tpu.ops.quant._quant_core`'s approximate
+    distance (so candidate sets match the XLA int8 path bit-for-bit), and
+    there is no rank-of-positive (int8 scores cannot order the full
+    gallery exactly; the caller re-ranks candidates on exact f32 rows).
+
+    ``seg_reduce`` folds that many 128-lane segments into ONE candidate
+    per lane (a running (min, argmin) with the min-of-dropped feeding the
+    certificate) before the depth-insert network runs. The insert network
+    is the VPU bound of the whole sweep (~11 ms per depth-2 increment at
+    1M rows, measured), and the fold costs ~4 ops/column vs the insert's
+    ~3*depth+2, so seg_reduce=8 cuts the dominant term 8x. Exactness is
+    never silently lost: a second top-r candidate landing in the same
+    (lane, fold-bucket) is dropped, but its value lower-bounds ``ev`` so
+    the per-row certificate fails and the caller falls back to the XLA
+    scan (collision odds at r=40: C(40,2)/(N/seg_reduce) per row)."""
+    t = pl.program_id(1)
+    sub = tile_n // 128
+    tq = q8_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        gs_ref[:] = jnp.full_like(gs_ref, BIG)
+        is_ref[:] = jnp.full_like(is_ref, n_total)
+        ev_ref[:] = jnp.full_like(ev_ref, BIG)
+
+    cross = jax.lax.dot_general(
+        q8_ref[:], g8_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # (TQ, TN) exact int32 accumulation
+    # EXACT op order of ops/quant.py::_quant_core: dot = cross * (s_q*s_g);
+    # euclidean approx = g_sq - 2*dot, cosine approx = -dot — f32 rounding
+    # agrees bitwise, so kernel candidates == XLA candidates.
+    sg = sq_ref[:] * gsc_ref[:]  # (TQ,1)*(1,TN) -> (TQ, TN)
+    dot = cross * sg
+    if metric == "euclidean":
+        d2full = gsq_ref[:] - 2.0 * dot
+    else:
+        d2full = -dot
+
+    base = t * tile_n
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+
+    G = [gs_ref[:, d * 128:(d + 1) * 128] for d in range(depth)]
+    I = [is_ref[:, d * 128:(d + 1) * 128] for d in range(depth)]
+    E = ev_ref[:]
+    for s0 in range(0, sub, seg_reduce):
+        colseg = base + s0 * 128 + lane
+        c = jnp.where(colseg < n_total,
+                      d2full[:, s0 * 128:(s0 + 1) * 128], BIG)
+        ix = colseg
+        for s in range(s0 + 1, s0 + seg_reduce):
+            col2 = base + s * 128 + lane
+            c2 = jnp.where(col2 < n_total,
+                           d2full[:, s * 128:(s + 1) * 128], BIG)
+            # whichever of (c, c2) loses the fold is dropped — its value
+            # lower-bounds everything the certificate must account for.
+            # Strict <: the earlier column wins ties (the XLA scan's
+            # lax.top_k tie order), and a dropped boundary tie fails the
+            # certificate via E == r-th value.
+            E = jnp.minimum(E, jnp.maximum(c, c2))
+            ix = jnp.where(c2 < c, col2, ix)
+            c = jnp.minimum(c, c2)
+        E = jnp.minimum(E, jnp.maximum(G[depth - 1], c))
+        better = [c < G[d] for d in range(depth)]
+        for d in range(depth - 1, 0, -1):
+            G[d] = jnp.where(better[d - 1], G[d - 1],
+                             jnp.where(better[d], c, G[d]))
+            I[d] = jnp.where(better[d - 1], I[d - 1],
+                             jnp.where(better[d], ix, I[d]))
+        G[0] = jnp.where(better[0], c, G[0])
+        I[0] = jnp.where(better[0], ix, I[0])
+
+    for d in range(depth):
+        gs_ref[:, d * 128:(d + 1) * 128] = G[d]
+        is_ref[:, d * 128:(d + 1) * 128] = I[d]
+    ev_ref[:] = E
+
+    @pl.when(t == n_steps - 1)
+    def _extract():
+        Gx = [gs_ref[:, d * 128:(d + 1) * 128] for d in range(depth)]
+        Ix = [is_ref[:, d * 128:(d + 1) * 128] for d in range(depth)]
+        av = jnp.full((tq, r), BIG, jnp.float32)
+        ai = jnp.full((tq, r), n_total, jnp.int32)
+        for j in range(r):
+            m, sel, picked = _extract_min(Gx[0], Ix[0])
+            for d in range(depth - 1):
+                Gx[d] = jnp.where(picked, Gx[d + 1], Gx[d])
+                Ix[d] = jnp.where(picked, Ix[d + 1], Ix[d])
+            Gx[depth - 1] = jnp.where(picked, BIG, Gx[depth - 1])
+            Ix[depth - 1] = jnp.where(picked, n_total, Ix[depth - 1])
+            av = _fill_lane(av, j, m)
+            ai = _fill_lane(ai, j, sel)
+        vals_ref[:] = av
+        idx_ref[:] = ai
+        emin = jnp.min(ev_ref[:], axis=1, keepdims=True)
+        rth = av[:, r - 1:r]
+        exact_ref[:] = (emin > rth).astype(jnp.int32)
+
+
+def quant_candidates_fused(
+    q8: jax.Array,
+    s_q: jax.Array,
+    g8: jax.Array,
+    g_scale: jax.Array,
+    g_sq: jax.Array,
+    r: int,
+    metric: str = "euclidean",
+    tile_q: int | None = None,
+    tile_n: int | None = None,
+    interpret: bool | None = None,
+    depth: int = 4,
+    seg_reduce: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Streamed int8 candidate scan: (approx_scores, cand_idx, exact), each
+    row's ``r`` best gallery indices by the int8-approximate score.
+
+    Inputs are pre-quantized (``ops.quant.quantize_gallery`` /
+    ``_symmetric_quantize``): ``q8 (Q, D) int8`` with per-row scales
+    ``s_q (Q,)``, ``g8 (N, D) int8`` with ``g_scale (N,)`` and exact
+    ``g_sq = |g|^2 (N,)`` (zeros for cosine). O(Q·depth·128) running
+    state — no (Q, N) score matrix — so the sweep is bounded by the int8
+    gallery read (a quarter of the f32 fused stream) plus the int8 MXU
+    pass. ``exact`` certifies per row that the candidate set equals the
+    exact top-``r`` by approximate score (per-lane top-``depth`` overflow
+    and r-boundary ties are detected); flagged rows must be recomputed by
+    the XLA int8 scan for the locked candidate-quality contract.
+
+    ``depth``/``seg_reduce`` trade VPU insert cost against certificate
+    pass rate (failed rows recompute on the XLA scan). Defaults are the
+    measured 1M-row sweet spot (scripts/probe_quant_sweep.py): depth=4
+    with seg_reduce=8 keeps the fallback rate ~1e-2/row at r=40 while the
+    fold cuts the dominant VPU term 8x; depth=8, seg_reduce=1 is the
+    max-certificate setting (~3e-6/row lane overflow at r=80, but the
+    insert network then costs more than the bf16 fused kernel saves).
+    ``seg_reduce`` is clamped to the largest divisor of the per-tile
+    segment count.
+    """
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError(f"unknown metric {metric!r} (euclidean|cosine)")
+    n = g8.shape[0]
+    if r > n:
+        raise ValueError(f"r={r} exceeds gallery size {n}")
+    if r > depth * 128:
+        raise ValueError(f"r={r} exceeds the per-lane file capacity "
+                         f"depth*128={depth * 128}")
+    if seg_reduce < 1:
+        raise ValueError(f"seg_reduce must be >= 1, got {seg_reduce}")
+    return _quant_jit(q8, s_q, g8, g_scale, g_sq, r=r, metric=metric,
+                      tile_q=tile_q, tile_n=tile_n,
+                      interpret=_resolve_interpret(interpret), depth=depth,
+                      seg_reduce=seg_reduce)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "r", "metric", "tile_q", "tile_n", "interpret", "depth", "seg_reduce"))
+def _quant_jit(q8, s_q, g8, g_scale, g_sq, *, r, metric, tile_q, tile_n,
+               interpret, depth, seg_reduce):
+    nq, d = q8.shape
+    n = g8.shape[0]
+    if tile_n is None:
+        tile_n = 1024
+    if tile_q is None:
+        tile_q = 256
+    tile_n = min(tile_n, max(128, -(-n // 128) * 128))
+    tile_q = min(tile_q, max(8, -(-nq // 8) * 8))
+    if tile_n % 128:
+        raise ValueError(f"tile_n must be a multiple of 128, got {tile_n}")
+
+    n_steps = -(-n // tile_n)
+    q_steps = -(-nq // tile_q)
+    sub = tile_n // 128
+    while sub % seg_reduce:  # largest divisor of sub <= requested
+        seg_reduce -= 1
+    kernel = functools.partial(_quant_kernel, r=r, tile_n=tile_n,
+                               n_total=n, n_steps=n_steps, depth=depth,
+                               metric=metric, seg_reduce=seg_reduce)
+    vals2d, idx2d, exact2d = pl.pallas_call(
+        kernel,
+        grid=(q_steps, n_steps),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda tq, tn: (tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda tq, tn: (tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda tq, tn: (tn, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda tq, tn: (0, tn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda tq, tn: (0, tn),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, r), lambda tq, tn: (tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, r), lambda tq, tn: (tq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda tq, tn: (tq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, r), jnp.float32),
+            jax.ShapeDtypeStruct((nq, r), jnp.int32),
+            jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, depth * 128), jnp.float32),
+            pltpu.VMEM((tile_q, depth * 128), jnp.int32),
+            pltpu.VMEM((tile_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(q8, s_q.reshape(nq, 1).astype(jnp.float32), g8,
+      g_scale.reshape(1, n).astype(jnp.float32),
+      g_sq.reshape(1, n).astype(jnp.float32))
+    return vals2d, idx2d, exact2d[:, 0]
+
+
 def retrieve_fused_sharded_core(
     queries: jax.Array,
     gallery: jax.Array,

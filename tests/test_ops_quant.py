@@ -89,6 +89,141 @@ def test_topk_overlap_metric():
 
 
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_quantized_fused_matches_xla_scan(rng, metric):
+    """The Pallas int8 streaming scan replicates the XLA scan's f32 op
+    order, so on separated data (certificate passes) the final indices
+    are identical and values agree to fp noise."""
+    from art_sbir_tpu.ops.quant import retrieve_quantized_fused
+
+    n, d, q, k = 1024, 128, 48, 10
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    qs = gal[:q] + 0.05 * rng.standard_normal((q, d)).astype(np.float32)
+    qg = quantize_gallery(jnp.asarray(gal), metric=metric)
+    v0, i0 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal), k=k)
+    v1, i1 = retrieve_quantized_fused(jnp.asarray(qs), qg,
+                                      jnp.asarray(gal), k=k)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_quantized_fused_ragged_edges(rng, metric):
+    """Gallery not a multiple of 128 and queries not a multiple of 8:
+    the kernel's in-tile masking must keep parity with the XLA scan."""
+    from art_sbir_tpu.ops.quant import retrieve_quantized_fused
+
+    n, d, q, k = 300, 64, 13, 7
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    qs = gal[5:5 + q] + 0.03 * rng.standard_normal((q, d)).astype(
+        np.float32)
+    qg = quantize_gallery(jnp.asarray(gal), metric=metric)
+    v0, i0 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal), k=k)
+    v1, i1 = retrieve_quantized_fused(jnp.asarray(qs), qg,
+                                      jnp.asarray(gal), k=k)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+
+
+def test_quantized_fused_certificate_fallback(rng):
+    """depth=1 per-lane files overflow on r=80 candidates (>1 of ~80 in a
+    lane is near-certain), so the certificate must flag rows and the
+    fallback must restore exact XLA-scan results."""
+    from art_sbir_tpu.ops.quant import retrieve_quantized_fused
+    from art_sbir_tpu.ops.retrieval_pallas import quant_candidates_fused
+    from art_sbir_tpu.ops.quant import _symmetric_quantize
+
+    n, d, q, k = 512, 64, 16, 10
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((q, d)).astype(np.float32)
+    qg = quantize_gallery(jnp.asarray(gal))
+
+    # the certificate itself must fail at depth=1
+    q8, s_q = _symmetric_quantize(jnp.asarray(qs))
+    _, _, cert = quant_candidates_fused(q8, s_q, qg.q8, qg.scale,
+                                        qg.sq_norm, r=80, depth=1)
+    assert not np.asarray(cert).all()
+
+    v0, i0 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal), k=k)
+    v1, i1 = retrieve_quantized_fused(jnp.asarray(qs), qg,
+                                      jnp.asarray(gal), k=k, depth=1)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+
+
+@pytest.mark.parametrize("seg_reduce", [1, 2, 4])
+def test_quantized_fused_seg_reduce_parity(rng, seg_reduce):
+    """The segment fold changes only WHERE candidates are dropped; with
+    the certificate+fallback contract every fold width must reproduce
+    the XLA scan exactly (ragged gallery exercises padded-lane folds)."""
+    from art_sbir_tpu.ops.quant import retrieve_quantized_fused
+
+    n, d, q, k = 700, 64, 11, 6
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    qs = gal[9:9 + q] + 0.04 * rng.standard_normal((q, d)).astype(
+        np.float32)
+    qg = quantize_gallery(jnp.asarray(gal))
+    v0, i0 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal), k=k)
+    v1, i1 = retrieve_quantized_fused(jnp.asarray(qs), qg,
+                                      jnp.asarray(gal), k=k,
+                                      seg_reduce=seg_reduce)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+
+
+def test_quantized_fused_fold_collision_certificate(rng):
+    """Two top-r rows in the same (lane, fold bucket) — rows j and j+128
+    with seg_reduce=2 — force the fold to drop one; the certificate must
+    flag the row and the fallback must restore XLA-scan exactness."""
+    from art_sbir_tpu.ops.quant import _symmetric_quantize
+    from art_sbir_tpu.ops.quant import retrieve_quantized_fused
+    from art_sbir_tpu.ops.retrieval_pallas import quant_candidates_fused
+
+    n, d = 256, 32
+    gal = rng.standard_normal((n, d)).astype(np.float32) * 10.0
+    target = rng.standard_normal(d).astype(np.float32)
+    gal[5] = target + 0.01
+    gal[133] = target - 0.01  # lane 5, segment 1 -> same fold bucket
+    qs = target[None, :]
+    qg = quantize_gallery(jnp.asarray(gal))
+
+    q8, s_q = _symmetric_quantize(jnp.asarray(qs))
+    _, cand, cert = quant_candidates_fused(
+        q8, s_q, qg.q8, qg.scale, qg.sq_norm, r=4, tile_n=256,
+        seg_reduce=2)
+    assert int(np.asarray(cert)[0]) == 0  # collision detected
+
+    v0, i0 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal),
+                                k=3, rerank_factor=2)
+    v1, i1 = retrieve_quantized_fused(jnp.asarray(qs), qg,
+                                      jnp.asarray(gal), k=3,
+                                      rerank_factor=2, tile_n=256,
+                                      seg_reduce=2)
+    assert {5, 133} <= set(np.asarray(i1)[0].tolist())
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+
+
+def test_quant_candidates_fused_guards(rng):
+    from art_sbir_tpu.ops.quant import _symmetric_quantize
+    from art_sbir_tpu.ops.retrieval_pallas import quant_candidates_fused
+
+    gal = rng.standard_normal((64, 32)).astype(np.float32)
+    qg = quantize_gallery(jnp.asarray(gal))
+    q8, s_q = _symmetric_quantize(jnp.asarray(gal[:4]))
+    with pytest.raises(ValueError, match="exceeds gallery size"):
+        quant_candidates_fused(q8, s_q, qg.q8, qg.scale, qg.sq_norm, r=65)
+    with pytest.raises(ValueError, match="per-lane file capacity"):
+        quant_candidates_fused(q8, s_q, qg.q8, qg.scale, qg.sq_norm,
+                               r=64, depth=0)
+    with pytest.raises(ValueError, match="unknown metric"):
+        quant_candidates_fused(q8, s_q, qg.q8, qg.scale, qg.sq_norm,
+                               r=8, metric="l2")
+    with pytest.raises(ValueError, match="seg_reduce"):
+        quant_candidates_fused(q8, s_q, qg.q8, qg.scale, qg.sq_norm,
+                               r=8, seg_reduce=0)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
 def test_quantized_chunked_matches_unchunked(rng, metric):
     from art_sbir_tpu.ops.quant import retrieve_quantized_chunked
 

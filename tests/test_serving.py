@@ -647,3 +647,31 @@ def test_engine_quantized_route_matches_xla(tiny_engine):
         RetrievalEngine(eng._forward, np.asarray(eng.gallery),
                         eng.image_paths, image_size=16, capacity=32,
                         quantize=True)
+
+
+def test_engine_quantized_fused_route(tiny_engine, monkeypatch):
+    """Above the crossover the quantized engine streams candidates
+    through the int8 Pallas kernel (retrieve_quantized_fused) instead of
+    materializing the (B, N) approx-score matrix; results must match the
+    XLA-scan quantized engine exactly (same candidates by construction)."""
+    import art_sbir_tpu.retrieval.rank as rank_mod
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    q_xla = RetrievalEngine(
+        eng._forward, np.asarray(eng.gallery), eng.image_paths,
+        metric="euclidean", image_size=eng.image_size, k_max=5,
+        max_batch=8, quantize=True)
+    assert not q_xla._quant_fused
+
+    monkeypatch.setattr(rank_mod, "FUSED_GALLERY_THRESHOLD", 1)
+    q_str = RetrievalEngine(
+        eng._forward, np.asarray(eng.gallery), eng.image_paths,
+        metric="euclidean", image_size=eng.image_size, k_max=5,
+        max_batch=8, quantize=True)
+    assert q_str._quant_fused
+
+    v0, i0 = q_xla.search_arrays(imgs[[2, 13, 7]])
+    v1, i1 = q_str.search_arrays(imgs[[2, 13, 7]])
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=1e-6)
