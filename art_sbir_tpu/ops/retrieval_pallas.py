@@ -93,7 +93,7 @@ def _kernel(q_ref, qq_ref, d2pos_ref, pos_ref, g_ref, gg_ref,
             rank_ref, vals_ref, idx_ref, exact_ref,
             gs_ref, is_ref, ev_ref,
             k: int, tile_n: int, n_total: int, n_steps: int, precision,
-            metric: str):
+            metric: str, seg_reduce: int, with_ranks: bool):
     t = pl.program_id(1)  # gallery tile (innermost grid axis)
     sub = tile_n // 128  # strided 128-lane segments per tile
     tq = q_ref.shape[0]
@@ -127,19 +127,39 @@ def _kernel(q_ref, qq_ref, d2pos_ref, pos_ref, g_ref, gg_ref,
     pos = pos_ref[:]  # (TQ, 1) int32
 
     # registers for the whole tile; written back to scratch once
+    def _hit(c, colseg):
+        # rank: strictly closer, plus exact ties at a smaller gallery
+        # index; the positive's own column never counts toward its rank
+        hit = (c < d2p) | ((c == d2p) & (colseg < pos))
+        return hit & (c < BIG) & (colseg != pos)
+
     G = [gs_ref[:, d * 128:(d + 1) * 128] for d in range(DEPTH)]
     I = [is_ref[:, d * 128:(d + 1) * 128] for d in range(DEPTH)]
     E = ev_ref[:]
     hit_acc = jnp.zeros((tq, 128), jnp.int32)
-    for s in range(sub):
-        colseg = base + s * 128 + lane
+    for s0 in range(0, sub, seg_reduce):
+        # segment fold: seg_reduce 128-lane segments collapse into one
+        # (min, argmin) candidate per lane before the insert network — the
+        # VPU bound of the sweep (see _quant_kernel / PERF.md). Fold drops
+        # feed the certificate, so exactness stays per-row certified; rank
+        # hits are per-column and unaffected by the fold.
+        colseg = base + s0 * 128 + lane
         c = jnp.where(colseg < n_total,
-                      d2full[:, s * 128:(s + 1) * 128], BIG)
-        # rank: strictly closer, plus exact ties at a smaller gallery
-        # index; the positive's own column never counts toward its rank
-        hit = (c < d2p) | ((c == d2p) & (colseg < pos))
-        hit = hit & (c < BIG) & (colseg != pos)
-        hit_acc += hit.astype(jnp.int32)
+                      d2full[:, s0 * 128:(s0 + 1) * 128], BIG)
+        if with_ranks:
+            hit_acc += _hit(c, colseg).astype(jnp.int32)
+        ix = colseg
+        for s in range(s0 + 1, s0 + seg_reduce):
+            col2 = base + s * 128 + lane
+            c2 = jnp.where(col2 < n_total,
+                           d2full[:, s * 128:(s + 1) * 128], BIG)
+            if with_ranks:
+                hit_acc += _hit(c2, col2).astype(jnp.int32)
+            # strict <: earlier columns win ties; the dropped one of
+            # (c, c2) lower-bounds what the certificate must cover
+            E = jnp.minimum(E, jnp.maximum(c, c2))
+            ix = jnp.where(c2 < c, col2, ix)
+            c = jnp.minimum(c, c2)
 
         # streaming top-DEPTH insert (strict <: earlier columns win ties).
         # whichever of {G1..G4, c} is discarded equals max(G4, c) — track
@@ -150,15 +170,16 @@ def _kernel(q_ref, qq_ref, d2pos_ref, pos_ref, g_ref, gg_ref,
             G[d] = jnp.where(better[d - 1], G[d - 1],
                              jnp.where(better[d], c, G[d]))
             I[d] = jnp.where(better[d - 1], I[d - 1],
-                             jnp.where(better[d], colseg, I[d]))
+                             jnp.where(better[d], ix, I[d]))
         G[0] = jnp.where(better[0], c, G[0])
-        I[0] = jnp.where(better[0], colseg, I[0])
+        I[0] = jnp.where(better[0], ix, I[0])
 
     for d in range(DEPTH):
         gs_ref[:, d * 128:(d + 1) * 128] = G[d]
         is_ref[:, d * 128:(d + 1) * 128] = I[d]
     ev_ref[:] = E
-    rank_ref[:] += jnp.sum(hit_acc, axis=1, keepdims=True)
+    if with_ranks:
+        rank_ref[:] += jnp.sum(hit_acc, axis=1, keepdims=True)
 
     @pl.when(t == n_steps - 1)
     def _extract():
@@ -206,6 +227,8 @@ def retrieve_fused_core(
     interpret: bool | None = None,
     precision: str = "highest",
     metric: str = "euclidean",
+    seg_reduce: int | None = None,
+    with_ranks: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Jitted kernel sweep: (ranks, topk_sq_values, topk_indices, exact).
 
@@ -213,7 +236,12 @@ def retrieve_fused_core(
     recomputed with the XLA path for guaranteed parity (the public
     :func:`retrieve_fused` does this). Benchmarks time this core — the
     certificate makes the fast path's exactness checkable without paying
-    for it."""
+    for it.
+
+    ``seg_reduce``: segment-fold width for the insert network (None =
+    auto by gallery size, see :func:`_sweep`). ``with_ranks=False`` skips
+    the per-column rank-of-positive accumulation (~6 VPU ops/column) and
+    returns zero ranks — the serving path, which ranks nothing."""
     if k > gallery.shape[0]:
         raise ValueError(
             f"k={k} exceeds gallery size {gallery.shape[0]}: unfilled top-k "
@@ -222,11 +250,13 @@ def retrieve_fused_core(
             "evaluate_retrieval does.")
     return _core_jit(queries, gallery, pos_idx, k=k, tile_q=tile_q,
                      tile_n=tile_n, interpret=_resolve_interpret(interpret),
-                     precision=precision, metric=metric)
+                     precision=precision, metric=metric,
+                     seg_reduce=seg_reduce, with_ranks=with_ranks)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "tile_q", "tile_n", "interpret", "precision", "metric"))
+    "k", "tile_q", "tile_n", "interpret", "precision", "metric",
+    "seg_reduce", "with_ranks"))
 def _core_jit(
     queries: jax.Array,
     gallery: jax.Array,
@@ -237,12 +267,15 @@ def _core_jit(
     interpret: bool,
     precision: str,
     metric: str,
+    seg_reduce: int | None,
+    with_ranks: bool,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     qq, gg_full, d2pos = _prep_norms(queries, gallery, pos_idx, metric)
     pos2d = pos_idx.astype(jnp.int32)[:, None]
     return _sweep(queries, gallery, qq, gg_full, d2pos, pos2d, k=k,
                   tile_q=tile_q, tile_n=tile_n, interpret=interpret,
-                  precision=precision, metric=metric)
+                  precision=precision, metric=metric,
+                  seg_reduce=seg_reduce, with_ranks=with_ranks)
 
 
 def _prep_norms(queries, gallery, pos_idx, metric):
@@ -277,15 +310,27 @@ def _prep_norms(queries, gallery, pos_idx, metric):
 
 
 def _sweep(queries, gallery, qq, gg_full, d2pos, pos2d, *, k, tile_q,
-           tile_n, interpret, precision, metric):
+           tile_n, interpret, precision, metric, seg_reduce=None,
+           with_ranks=True):
     """One fused sweep over ``gallery`` with fully-prepared inputs.
     ``pos2d`` indices are in GALLERY-LOCAL coordinates (the sharded path
     passes clipped local positions); returned indices are local with
-    sentinel = len(gallery)."""
+    sentinel = len(gallery).
+
+    ``seg_reduce=None`` auto-sizes the segment fold by gallery rows: the
+    fold trades insert-network VPU work (the measured sweep bound past
+    ~200k rows) against fold-collision fallbacks, whose per-row odds are
+    ~C(k,2)*seg_reduce/N — negligible at 1M rows (0.036% at k=10, red=8)
+    but 3.5%/row at 10k, so small sweeps keep the fold off and stay
+    bit-identical to the pre-fold kernel."""
     if k > 128:
         raise ValueError(f"k must be <= 128 (per-lane extraction), got {k}")
     nq, d = queries.shape
     n = gallery.shape[0]
+    if seg_reduce is None:
+        seg_reduce = 8 if n >= 200_000 else (4 if n >= 50_000 else 1)
+    if seg_reduce < 1:
+        raise ValueError(f"seg_reduce must be >= 1, got {seg_reduce}")
     # default tiles sized to the 16 MB VMEM budget (gallery tile double
     # buffer + cross + d2full dominate the kernel stack)
     if tile_n is None:
@@ -310,9 +355,13 @@ def _sweep(queries, gallery, qq, gg_full, d2pos, pos2d, *, k, tile_q,
 
     n_steps = -(-n // tile_n)
     q_steps = -(-nq // tile_q)
+    sub = tile_n // 128
+    while sub % seg_reduce:  # largest divisor of sub <= requested
+        seg_reduce -= 1
     kernel = functools.partial(_kernel, k=k, tile_n=tile_n, n_total=n,
                                n_steps=n_steps, precision=prec,
-                               metric=metric)
+                               metric=metric, seg_reduce=seg_reduce,
+                               with_ranks=with_ranks)
     rank2d, vals2d, idx2d, exact2d = pl.pallas_call(
         kernel,
         grid=(q_steps, n_steps),
@@ -373,6 +422,8 @@ def retrieve_fused(
     interpret: bool | None = None,
     precision: str = "highest",
     metric: str = "euclidean",
+    seg_reduce: int | None = None,
+    with_ranks: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(ranks, topk_values, topk_indices) over the streamed gallery.
 
@@ -396,14 +447,19 @@ def retrieve_fused(
     as VMEM allows when sweeping big galleries.
 
     Rows whose in-kernel exactness certificate fails (>= DEPTH+1 of the
-    row's true top-k in one VPU lane, or value ties at the k-th boundary —
-    ~1e-6 probability on continuous data, always detected) are recomputed
-    with the exact XLA path; this host-side check syncs on the result,
-    which retrieval callers do anyway.
+    row's true top-k in one VPU lane, a fold-bucket collision between two
+    top-k rows, or value ties at the k-th boundary — always detected;
+    odds on continuous data ~C(k,2)*seg_reduce/N, see :func:`_sweep`) are
+    recomputed with the exact XLA path; this host-side check syncs on the
+    result, which retrieval callers do anyway.
+
+    ``with_ranks=False`` skips the rank-of-positive accumulation (the
+    serving path ranks nothing) and returns zero ranks.
     """
     ranks, vals, idx, exact = retrieve_fused_core(
         queries, gallery, pos_idx, k=k, tile_q=tile_q, tile_n=tile_n,
-        interpret=interpret, precision=precision, metric=metric)
+        interpret=interpret, precision=precision, metric=metric,
+        seg_reduce=seg_reduce, with_ranks=with_ranks)
     exact_h = np.asarray(exact)
     if exact_h.all():
         return ranks, vals, idx
@@ -416,7 +472,8 @@ def retrieve_fused(
         # XLA fallback returns sqrt'd eps-folded distances; square for the
         # kernel's squared-value contract
         vb = jnp.square(vb)
-    ranks = jnp.asarray(np.asarray(ranks)).at[bad].set(rb)
+    if with_ranks:  # else keep the kernel's zero ranks uniformly
+        ranks = jnp.asarray(np.asarray(ranks)).at[bad].set(rb)
     vals = jnp.asarray(np.asarray(vals)).at[bad].set(vb)
     idx = jnp.asarray(np.asarray(idx)).at[bad].set(ib)
     return ranks, vals, idx
@@ -663,6 +720,8 @@ def retrieve_fused_sharded_core(
     interpret: bool | None = None,
     precision: str = "highest",
     metric: str = "euclidean",
+    seg_reduce: int | None = None,
+    with_ranks: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Resolve the interpret default, then dispatch to the jitted sweep
     (see :func:`_sharded_core_jit` for the algorithm)."""
@@ -682,12 +741,13 @@ def retrieve_fused_sharded_core(
         queries, gallery, pos_idx, mesh=mesh, axis_name=axis_name, k=k,
         tile_q=tile_q, tile_n=tile_n,
         interpret=_resolve_interpret(interpret), precision=precision,
-        metric=metric)
+        metric=metric, seg_reduce=seg_reduce, with_ranks=with_ranks)
 
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "axis_name", "k", "tile_q", "tile_n",
-                              "interpret", "precision", "metric"))
+                              "interpret", "precision", "metric",
+                              "seg_reduce", "with_ranks"))
 def _sharded_core_jit(
     queries: jax.Array,
     gallery: jax.Array,
@@ -700,6 +760,8 @@ def _sharded_core_jit(
     interpret: bool,
     precision: str,
     metric: str,
+    seg_reduce: int | None,
+    with_ranks: bool,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Multi-chip fused retrieval: gallery row-sharded over ``axis_name``.
 
@@ -759,7 +821,7 @@ def _sharded_core_jit(
         ranks, vals, idx, exact = _sweep(
             q, g_shard, qq_r, gg, d2pos_r, pos_local, k=k, tile_q=tile_q,
             tile_n=tile_n, interpret=interpret, precision=precision,
-            metric=metric)
+            metric=metric, seg_reduce=seg_reduce, with_ranks=with_ranks)
         idx = jnp.where(idx >= n_local, n, idx + off)  # global indices
         return ranks[None], vals[None], idx[None], exact[None]
 
@@ -792,13 +854,16 @@ def retrieve_fused_sharded(
     interpret: bool | None = None,
     precision: str = "highest",
     metric: str = "euclidean",
+    seg_reduce: int | None = None,
+    with_ranks: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Public multi-chip fused retrieval with the certificate fallback
     (see :func:`retrieve_fused`); value contract matches it per metric."""
     ranks, vals, idx, exact = retrieve_fused_sharded_core(
         queries, gallery, pos_idx, mesh, axis_name=axis_name, k=k,
         tile_q=tile_q, tile_n=tile_n, interpret=interpret,
-        precision=precision, metric=metric)
+        precision=precision, metric=metric, seg_reduce=seg_reduce,
+        with_ranks=with_ranks)
     exact_h = np.asarray(exact)
     if exact_h.all():
         return ranks, vals, idx

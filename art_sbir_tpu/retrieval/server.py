@@ -292,10 +292,11 @@ class RetrievalEngine:
             if self.mesh is not None:
                 _, vals, idx = retrieve_fused_sharded(
                     emb, gallery, pos, self.mesh, k=self.k_max,
-                    metric=self.metric)
+                    metric=self.metric, with_ranks=False)
             else:
                 _, vals, idx = retrieve_fused(
-                    emb, gallery, pos, k=self.k_max, metric=self.metric)
+                    emb, gallery, pos, k=self.k_max, metric=self.metric,
+                    with_ranks=False)
             if self.metric == "euclidean":  # kernel reports squared dists
                 vals = jnp.sqrt(vals)
         else:

@@ -16,7 +16,7 @@ clean).
 
 Usage: python scripts/serve_loadtest.py [--clients 8] [--seconds 20]
        [--gallery 10000] [--window_ms 2] [--image_size 224] [--cpu]
-       [--churn]
+       [--churn] [--quantize]
 """
 
 from __future__ import annotations
@@ -52,6 +52,9 @@ def main() -> None:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke mode)")
+    p.add_argument("--quantize", action="store_true",
+                   help="serve the int8 quantized index (candidate scan + "
+                        "exact rerank); mutually exclusive with --churn")
     p.add_argument("--churn", action="store_true",
                    help="run the gallery as an online index and mutate it "
                         "(add/remove via HTTP) from one extra thread while "
@@ -86,10 +89,13 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     gallery = rng.standard_normal((args.gallery, EMBED_DIM)).astype(np.float32)
+    if args.quantize and args.churn:
+        raise SystemExit("--quantize serves immutable indexes; drop --churn")
     engine = RetrievalEngine(
         forward, gallery, [f"img_{i}" for i in range(args.gallery)],
         image_size=s, k_max=10, max_batch=args.max_batch,
-        capacity=args.gallery + 64 if args.churn else None)
+        capacity=args.gallery + 64 if args.churn else None,
+        quantize=args.quantize)
     batcher = MicroBatcher(engine, window_ms=args.window_ms)
 
     log(f"warming compile for all batch buckets {engine.buckets}...")

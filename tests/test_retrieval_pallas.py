@@ -234,3 +234,74 @@ def test_fused_sharded_k_guard_uses_shard_size(rng):
         retrieve_fused_sharded(
             jnp.array(queries), jnp.array(gal), jnp.array(pos), _mesh8(),
             k=200, tile_q=8, tile_n=128, interpret=True)  # 200 > 128
+
+
+@pytest.mark.parametrize("seg_reduce", [2, 4])
+def test_fused_seg_reduce_parity(rng, seg_reduce):
+    """The segment fold (pre-insert per-lane min over seg_reduce segments)
+    must keep full parity with the XLA reference — fold-collision rows are
+    certified and recomputed, everything else is bit-identical."""
+    n, d, q = 700, 48, 21
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    pos = rng.integers(0, n, size=q).astype(np.int32)
+
+    r0, v0, i0 = retrieve(jnp.array(queries), jnp.array(gal),
+                          jnp.array(pos), k=9)
+    r1, v1, i1 = retrieve_fused(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=9,
+        tile_q=8, tile_n=256, interpret=True, seg_reduce=seg_reduce)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_allclose(np.asarray(v0) ** 2, np.asarray(v1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_fold_collision_certificate(rng):
+    """Two of the true top-k in the same (lane, fold bucket) — rows 5 and
+    133 with tile_n=256/seg_reduce=2 — force a fold drop; the certificate
+    must flag the row and the fallback restore exactness. Rank-of-positive
+    is per-column (unfolded) and must be exact straight from the kernel."""
+    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_core
+
+    n, d = 512, 32
+    gal = rng.standard_normal((n, d)).astype(np.float32) * 10.0
+    target = rng.standard_normal(d).astype(np.float32)
+    gal[5] = target + 0.01
+    gal[133] = target - 0.01  # lane 5, adjacent segment: same fold bucket
+    queries = target[None, :]
+    pos = np.array([5], np.int32)
+
+    r, v, i, exact = retrieve_fused_core(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=4,
+        tile_q=8, tile_n=256, interpret=True, seg_reduce=2)
+    assert int(np.asarray(exact)[0]) == 0, "fold collision must be flagged"
+    r0, v0, i0 = retrieve(jnp.array(queries), jnp.array(gal),
+                          jnp.array(pos), k=4)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r))
+
+    r1, v1, i1 = retrieve_fused(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=4,
+        tile_q=8, tile_n=256, interpret=True, seg_reduce=2)
+    assert {5, 133} <= set(np.asarray(i1)[0].tolist())
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+
+def test_fused_without_ranks(rng):
+    """with_ranks=False (the serving path) must return the same top-k and
+    zero ranks — including for certificate-fallback rows."""
+    n, d, q = 520, 32, 12
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    pos = np.zeros(q, np.int32)
+
+    _, v0, i0 = retrieve_fused(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=7,
+        tile_q=8, tile_n=256, interpret=True)
+    r1, v1, i1 = retrieve_fused(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=7,
+        tile_q=8, tile_n=256, interpret=True, with_ranks=False)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    assert not np.asarray(r1).any()
