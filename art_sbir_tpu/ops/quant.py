@@ -234,6 +234,140 @@ def retrieve_quantized_fused(
     return vals, idx
 
 
+def retrieve_quantized_sharded(
+    queries: jax.Array,
+    qg: QuantGallery,
+    gallery_f32: jax.Array,
+    mesh: jax.sharding.Mesh,
+    axis_name: str | None = None,
+    k: int = 10,
+    rerank_factor: int = 4,
+    interpret: bool | None = None,
+    use_kernel: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-chip int8 retrieval: gallery row-sharded over ``axis_name``.
+
+    Each chip scans ITS rows for the per-shard approximate top-``r``
+    (streamed Pallas kernel past the single-chip crossover, XLA int8 scan
+    below it), exactly re-ranks those candidates on its OWN f32 shard
+    (the gather never crosses chips), and ships only (Q, k) exact
+    values + global indices; the merge lexsorts by (value, index) — the
+    same global tie order as the single-device path. Cross-chip traffic
+    is O(Q*k) riding ICI, like :func:`~art_sbir_tpu.ops.retrieval_pallas.
+    retrieve_fused_sharded`.
+
+    Contract: identical to "per-shard XLA top-``r`` + exact local rerank
+    + exact merge" — a SUPERSET of the single-device candidate set
+    (every global top-r candidate is in its shard's top-r), so top-k
+    quality is >= :func:`retrieve_quantized` at the same
+    ``rerank_factor``; on separated data the results coincide. Kernel
+    rows whose exactness certificate fails recompute on the XLA per-shard
+    scan (padded to power-of-two batches).
+    """
+    from art_sbir_tpu.ops.retrieval_pallas import _resolve_interpret
+
+    ax = axis_name or mesh.axis_names[0]
+    n_dev = int(mesh.shape[ax])
+    n = qg.q8.shape[0]
+    if n % n_dev:
+        raise ValueError(
+            f"gallery rows ({n}) must divide the '{ax}' mesh axis "
+            f"({n_dev}); pad the gallery (parallel.mesh.pad_to_multiple)")
+    n_local = n // n_dev
+    if k > n_local:
+        raise ValueError(
+            f"k={k} exceeds the per-shard gallery size {n_local}; shrink "
+            "the mesh axis or pad the gallery")
+    r = min(max(rerank_factor * k, k), n_local)
+    if use_kernel is None:
+        from art_sbir_tpu.retrieval.rank import FUSED_GALLERY_THRESHOLD
+
+        use_kernel = n_local >= FUSED_GALLERY_THRESHOLD and r <= 4 * 128
+    interp = _resolve_interpret(interpret)
+
+    qf = jnp.asarray(queries, jnp.float32)
+    qn = _l2_normalize(qf) if qg.metric == "cosine" else qf
+    q8, s_q = _symmetric_quantize(qn)
+
+    vals, idx, cert = _quant_sharded_jit(
+        q8, s_q, qf, qg.q8, qg.scale, qg.sq_norm,
+        jnp.asarray(gallery_f32, jnp.float32), mesh=mesh, ax=ax,
+        n_local=n_local, r=r, k=k, metric=qg.metric,
+        use_kernel=bool(use_kernel), interpret=interp)
+
+    cert_h = np.asarray(cert)
+    if cert_h.all() or not use_kernel:
+        return vals, idx
+    bad = np.nonzero(cert_h == 0)[0]
+    nbad = len(bad)
+    pad = 1 << (nbad - 1).bit_length() if nbad > 1 else 1
+    pad = min(pad, queries.shape[0])
+    sel = np.pad(bad, (0, pad - nbad), mode="edge")
+    vb, ib = retrieve_quantized_sharded(
+        jnp.take(queries, sel, axis=0), qg, gallery_f32, mesh,
+        axis_name=ax, k=k, rerank_factor=rerank_factor,
+        interpret=interpret, use_kernel=False)
+    vals = jnp.asarray(np.asarray(vals)).at[bad].set(np.asarray(vb)[:nbad])
+    idx = jnp.asarray(np.asarray(idx)).at[bad].set(np.asarray(ib)[:nbad])
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "ax", "n_local", "r", "k", "metric", "use_kernel", "interpret"))
+def _quant_sharded_jit(q8, s_q, qf, g8, g_scale, g_sq, gallery_f32, *,
+                       mesh, ax, n_local, r, k, metric, use_kernel,
+                       interpret):
+    """One program: per-shard scan + local exact rerank + (value, index)
+    merge. Returns (vals (Q,k), global idx (Q,k), per-row AND of shard
+    certificates)."""
+    from jax.sharding import PartitionSpec as P
+
+    from art_sbir_tpu.ops.retrieval_pallas import quant_candidates_fused
+
+    try:  # jax >= 0.5 moved shard_map to the public namespace
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = _sm
+
+    nq = q8.shape[0]
+    n_dev = int(mesh.shape[ax])
+
+    def worker(q8_r, sq_r, qf_r, g8_s, sc_s, gsq_s, gal_s):
+        off = jax.lax.axis_index(ax) * n_local
+        if use_kernel:
+            _, cand, cert = quant_candidates_fused(
+                q8_r, sq_r, g8_s, sc_s, gsq_s, r=r, metric=metric,
+                interpret=interpret)
+        else:
+            dot = jax.lax.dot_general(
+                q8_r, g8_s, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (sq_r[:, None] * sc_s[None, :])
+            approx = (gsq_s[None, :] - 2.0 * dot
+                      if metric == "euclidean" else -dot)
+            _, cand = jax.lax.top_k(-approx, r)
+            cert = jnp.ones(q8_r.shape[0], jnp.int32)
+        cand = jnp.sort(cand, axis=1)
+        vals, idx_l = _rerank(qf_r, cand, gal_s, metric, k)
+        return vals[None], (idx_l + off)[None], cert[None]
+
+    pv, pi, pc = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P(), P(ax, None), P(ax), P(ax), P(ax, None)),
+        out_specs=(P(ax), P(ax), P(ax)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
+    )(q8, s_q, qf, g8, g_scale, g_sq, gallery_f32)
+
+    vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
+    idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
+    order = jnp.lexsort((idx_all, vals_all), axis=-1)[:, :k]
+    vals = jnp.take_along_axis(vals_all, order, axis=-1)
+    idx = jnp.take_along_axis(idx_all, order, axis=-1)
+    return vals, idx, jnp.min(pc, axis=0)
+
+
 def topk_overlap(idx_a: jax.Array, idx_b: jax.Array) -> float:
     """Mean per-query overlap |A ∩ B| / k between two (Q, k) index sets —
     the recall-quality metric for approximate modes."""

@@ -126,8 +126,11 @@ class RetrievalEngine:
 
         ``quantize``: int8 candidate scan + exact rerank
         (:mod:`art_sbir_tpu.ops.quant` — 2x MXU rate / 4x less gallery
-        read bandwidth than f32 on the cross term). Immutable
-        single-device indexes only. ``rerank_factor`` sets the candidate
+        read bandwidth than f32 on the cross term). Immutable indexes
+        only (no ``capacity``); composes with ``mesh`` — the int8 gallery
+        row-shards and each chip scans + exactly reranks its own rows
+        (:func:`~art_sbir_tpu.ops.quant.retrieve_quantized_sharded`,
+        O(B*k) cross-chip traffic). ``rerank_factor`` sets the candidate
         count (``rerank_factor * k_max``) for BOTH quantized routes —
         the engine default 4 measured quality-equal to 8 at 1M rows
         (top-10 overlap vs exact 0.9936 vs 0.9937) while keeping the
@@ -203,20 +206,30 @@ class RetrievalEngine:
         self._qg = None
         self._quant_fused = False
         if quantize:
-            if capacity is not None or mesh is not None:
-                raise ValueError("quantize=True serves immutable "
-                                 "single-device indexes only")
+            if capacity is not None:
+                raise ValueError("quantize=True serves immutable indexes "
+                                 "only (no capacity mode)")
             from art_sbir_tpu.ops.quant import quantize_gallery
 
+            if mesh is not None:
+                # per-shard top-k needs k rows on every chip
+                ax0 = mesh.axis_names[0]
+                n_loc = rows // max(int(mesh.shape[ax0]), 1)
+                if self.k_max > n_loc:
+                    raise ValueError(
+                        f"k_max={self.k_max} exceeds the per-shard gallery "
+                        f"size {n_loc} for quantized sharded serving")
             self._qg = quantize_gallery(self.gallery, metric)
             self._rerank_factor = int(rerank_factor)
             self.use_fused = False  # int8 scan replaces both routes
             # same crossover as the exact path: above it, the XLA scan's
             # (B, N) approx-score matrix costs more than the streaming
             # int8 Pallas kernel's O(B) state (k_max <= 128 keeps the
-            # rerank candidate set within the kernel's per-lane capacity)
+            # rerank candidate set within the kernel's per-lane capacity).
+            # The sharded path (mesh=) routes internally by SHARD size.
             self._quant_fused = (
-                self.gallery.shape[0] >= FUSED_GALLERY_THRESHOLD
+                mesh is None
+                and self.gallery.shape[0] >= FUSED_GALLERY_THRESHOLD
                 and self.k_max <= 128)
 
         def embed(images_u8: jax.Array) -> jax.Array:
@@ -272,10 +285,15 @@ class RetrievalEngine:
             gallery, mask = self.gallery, self._mask
         if self._qg is not None:
             from art_sbir_tpu.ops.quant import (retrieve_quantized,
-                                                retrieve_quantized_fused)
+                                                retrieve_quantized_fused,
+                                                retrieve_quantized_sharded)
 
             emb = self._embed(jnp.asarray(images_u8))
-            if self._quant_fused:
+            if self.mesh is not None:
+                vals, idx = retrieve_quantized_sharded(
+                    emb, self._qg, gallery, self.mesh, k=self.k_max,
+                    rerank_factor=self._rerank_factor)
+            elif self._quant_fused:
                 vals, idx = retrieve_quantized_fused(
                     emb, self._qg, gallery, k=self.k_max,
                     rerank_factor=self._rerank_factor)

@@ -240,3 +240,108 @@ def test_quantized_chunked_matches_unchunked(rng, metric):
     ve, ie = retrieve_quantized_chunked(jnp.asarray(qs[:0]), qg,
                                         jnp.asarray(gal), k=k)
     assert ve.shape == (0, k) and ie.shape == (0, k)
+
+
+def _mesh8():
+    import jax
+    from art_sbir_tpu.parallel.mesh import MeshSpec
+
+    return MeshSpec(data=len(jax.devices())).build()
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_quantized_sharded_matches_single_device(rng, metric):
+    """On separated data (every candidate set contains the true top-k)
+    the sharded superset contract coincides with the single-device
+    result exactly."""
+    from art_sbir_tpu.ops.quant import retrieve_quantized_sharded
+
+    n, d, q, k = 1024, 64, 24, 5  # 128 rows/shard on the 8-device mesh
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    qs = gal[11:11 + q] + 0.03 * rng.standard_normal((q, d)).astype(
+        np.float32)
+    qg = quantize_gallery(jnp.asarray(gal), metric=metric)
+    v0, i0 = retrieve_quantized(jnp.asarray(qs), qg, jnp.asarray(gal),
+                                k=k, rerank_factor=4)
+    v1, i1 = retrieve_quantized_sharded(jnp.asarray(qs), qg,
+                                        jnp.asarray(gal), _mesh8(), k=k,
+                                        rerank_factor=4)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5)
+
+
+def test_quantized_sharded_matches_pershard_oracle(rng):
+    """On flat random data the contract is exactly 'per-shard approx
+    top-r + local exact rerank + (value, index) merge' — checked against
+    a plain-numpy oracle of that recipe."""
+    from art_sbir_tpu.ops.distance import euclidean_distance
+    from art_sbir_tpu.ops.quant import (_symmetric_quantize,
+                                        retrieve_quantized_sharded)
+
+    n, d, q, k, rf = 1024, 32, 16, 4, 3
+    n_dev = 8
+    n_loc = n // n_dev
+    r = rf * k
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((q, d)).astype(np.float32)
+    qg = quantize_gallery(jnp.asarray(gal))
+
+    v1, i1 = retrieve_quantized_sharded(jnp.asarray(qs), qg,
+                                        jnp.asarray(gal), _mesh8(), k=k,
+                                        rerank_factor=rf)
+
+    # oracle: same quantized math, shard-local candidates, exact merge
+    q8, s_q = _symmetric_quantize(jnp.asarray(qs))
+    dot = (np.asarray(q8, np.float32) @ np.asarray(qg.q8, np.float32).T
+           * np.asarray(s_q)[:, None] * np.asarray(qg.scale)[None, :])
+    approx = np.asarray(qg.sq_norm)[None, :] - 2.0 * dot
+    cands = []
+    for s in range(n_dev):
+        blk = approx[:, s * n_loc:(s + 1) * n_loc]
+        top = np.argsort(blk, axis=1, kind="stable")[:, :r] + s * n_loc
+        cands.append(top)
+    cand = np.concatenate(cands, axis=1)  # (q, n_dev*r) global indices
+    exact = np.asarray(euclidean_distance(
+        jnp.asarray(qs)[:, None, :], jnp.asarray(gal)[cand]))
+    best_v, best_i = [], []
+    for row in range(q):
+        order = np.lexsort((cand[row], exact[row]))[:k]
+        best_v.append(exact[row][order])
+        best_i.append(cand[row][order])
+    np.testing.assert_array_equal(np.asarray(i1), np.stack(best_i))
+    np.testing.assert_allclose(np.asarray(v1), np.stack(best_v),
+                               rtol=1e-5)
+
+
+def test_quantized_sharded_kernel_route_matches_xla(rng):
+    """use_kernel=True (streamed per-shard scan, interpret on CPU) must
+    reproduce the XLA per-shard route exactly via certificate+fallback."""
+    from art_sbir_tpu.ops.quant import retrieve_quantized_sharded
+
+    n, d, q, k = 1024, 32, 12, 4
+    gal = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((q, d)).astype(np.float32)
+    qg = quantize_gallery(jnp.asarray(gal))
+    v0, i0 = retrieve_quantized_sharded(jnp.asarray(qs), qg,
+                                        jnp.asarray(gal), _mesh8(), k=k,
+                                        use_kernel=False)
+    v1, i1 = retrieve_quantized_sharded(jnp.asarray(qs), qg,
+                                        jnp.asarray(gal), _mesh8(), k=k,
+                                        use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+
+
+def test_quantized_sharded_guards(rng):
+    from art_sbir_tpu.ops.quant import retrieve_quantized_sharded
+
+    gal = rng.standard_normal((1024, 32)).astype(np.float32)
+    qg = quantize_gallery(jnp.asarray(gal))
+    qs = jnp.asarray(gal[:4])
+    with pytest.raises(ValueError, match="must divide"):
+        retrieve_quantized_sharded(
+            qs, quantize_gallery(jnp.asarray(gal[:1020])),
+            jnp.asarray(gal[:1020]), _mesh8(), k=4)
+    with pytest.raises(ValueError, match="per-shard gallery size"):
+        retrieve_quantized_sharded(qs, qg, jnp.asarray(gal), _mesh8(),
+                                   k=200)

@@ -675,3 +675,34 @@ def test_engine_quantized_fused_route(tiny_engine, monkeypatch):
     v1, i1 = q_str.search_arrays(imgs[[2, 13, 7]])
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=1e-6)
+
+
+def test_engine_quantized_sharded_route(tiny_engine):
+    """quantize=True composes with mesh=: the int8 gallery row-shards and
+    each chip scans + reranks its own rows; results must match the
+    single-device quantized engine on self-retrieval queries."""
+    import jax
+
+    from art_sbir_tpu.parallel.mesh import MeshSpec
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    mesh = MeshSpec(data=len(jax.devices())).build()
+    gal = np.asarray(eng.gallery)
+    q_one = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=2, max_batch=8, quantize=True)
+    q_mesh = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=2, max_batch=8, mesh=mesh,
+        quantize=True)
+    v0, i0 = q_one.search_arrays(imgs[[1, 9, 13]])
+    v1, i1 = q_mesh.search_arrays(imgs[[1, 9, 13]])
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="per-shard gallery size"):
+        # 16 rows over 8 shards = 2/shard < k_max=5
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, k_max=5, max_batch=8,
+                        mesh=mesh, quantize=True)
