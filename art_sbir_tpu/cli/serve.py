@@ -116,7 +116,9 @@ def build_engine(args):
                     k_max=getattr(args, "k_max", 10),
                     max_batch=getattr(args, "max_batch", 32),
                     capacity=getattr(args, "capacity", None),
-                    mesh=mesh, quantize=getattr(args, "quantize", False))
+                    mesh=mesh, quantize=getattr(args, "quantize", False),
+                    rerank_factor=getattr(args, "rerank_factor", 4),
+                    rerank_dtype=getattr(args, "rerank_dtype", "float32"))
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -249,8 +251,15 @@ def main(argv=None):
                         "devices (first mesh axis); rows (or capacity) "
                         "must divide it")
     p.add_argument("--quantize", action="store_true",
-                   help="int8 candidate scan + exact rerank (ops/quant.py;"
-                        " immutable single-device indexes only)")
+                   help="int8 candidate scan + exact rerank (ops/quant.py; "
+                        "immutable indexes; composes with --n_devices)")
+    p.add_argument("--rerank_factor", type=int, default=4,
+                   help="quantized candidate count = factor * k_max")
+    p.add_argument("--rerank_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 keeps the rerank gallery resident in "
+                        "bf16 (0.75 B/elem total vs 1.25 f32) at ~1e-2 "
+                        "relative value rounding; quantized mode only")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

@@ -114,8 +114,14 @@ def _quant_core(
 def _rerank(qf, cand, gallery_f32, metric, k):
     """Exact rerank of index-sorted candidates on gathered f32 rows — the
     library row-wise forms, so the reported values match the exact path's
-    torch-parity contract (stable argsort ties by gallery index)."""
-    rows = jnp.take(jnp.asarray(gallery_f32, jnp.float32), cand, axis=0)
+    torch-parity contract (stable argsort ties by gallery index).
+
+    Gather FIRST, cast the (Q, R, D) rows after: casting the whole
+    gallery before the take would materialize a full f32 copy per call
+    (4*N*D bytes of HBM) — fatal for the bf16-resident capacity mode and
+    wasted bandwidth for f32 (where the cast is a no-op either way)."""
+    rows = jnp.take(jnp.asarray(gallery_f32), cand,
+                    axis=0).astype(jnp.float32)
     qx = qf[:, None, :]  # un-normalized, like the exact path
     if metric == "euclidean":
         exact = euclidean_distance(qx, rows)

@@ -107,6 +107,7 @@ class RetrievalEngine:
         mesh=None,
         quantize: bool = False,
         rerank_factor: int = 4,
+        rerank_dtype: str = "float32",
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`,
         :meth:`remove`). The gallery is padded to a fixed ``capacity``
@@ -135,7 +136,14 @@ class RetrievalEngine:
         the engine default 4 measured quality-equal to 8 at 1M rows
         (top-10 overlap vs exact 0.9936 vs 0.9937) while keeping the
         streamed kernel's certificate rate ~99% (see
-        scripts/probe_quant_sweep.py)."""
+        scripts/probe_quant_sweep.py). ``rerank_dtype='bfloat16'`` keeps
+        the rerank gallery resident in bf16 — 0.75 bytes/element total
+        (int8 scan copy + bf16 rows) vs 1.25 with f32 rows, a 1.67x
+        capacity lever on top of int8's 4x — at the cost of bf16 row
+        rounding in the reported values (~1e-2 relative, plus an
+        ABSOLUTE floor ~0.004*||row|| on near-zero euclidean distances
+        such as self-matches; candidate selection is unchanged and
+        rerank math stays f32)."""
         n0 = int(gallery_features.shape[0])
         if n0 == 0 and capacity is None:
             raise ValueError("cannot serve an empty gallery "
@@ -205,6 +213,9 @@ class RetrievalEngine:
 
         self._qg = None
         self._quant_fused = False
+        if rerank_dtype != "float32" and not quantize:
+            raise ValueError("rerank_dtype applies to quantize=True "
+                             "engines only")
         if quantize:
             if capacity is not None:
                 raise ValueError("quantize=True serves immutable indexes "
@@ -219,7 +230,12 @@ class RetrievalEngine:
                     raise ValueError(
                         f"k_max={self.k_max} exceeds the per-shard gallery "
                         f"size {n_loc} for quantized sharded serving")
+            if rerank_dtype not in ("float32", "bfloat16"):
+                raise ValueError(f"rerank_dtype must be float32|bfloat16, "
+                                 f"got {rerank_dtype!r}")
             self._qg = quantize_gallery(self.gallery, metric)
+            if rerank_dtype == "bfloat16":  # capacity mode: bf16 rows
+                self.gallery = self.gallery.astype(jnp.bfloat16)
             self._rerank_factor = int(rerank_factor)
             self.use_fused = False  # int8 scan replaces both routes
             # same crossover as the exact path: above it, the XLA scan's

@@ -55,6 +55,9 @@ def main() -> None:
     p.add_argument("--quantize", action="store_true",
                    help="serve the int8 quantized index (candidate scan + "
                         "exact rerank); mutually exclusive with --churn")
+    p.add_argument("--rerank_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bf16-resident rerank gallery (quantize only)")
     p.add_argument("--churn", action="store_true",
                    help="run the gallery as an online index and mutate it "
                         "(add/remove via HTTP) from one extra thread while "
@@ -95,7 +98,7 @@ def main() -> None:
         forward, gallery, [f"img_{i}" for i in range(args.gallery)],
         image_size=s, k_max=10, max_batch=args.max_batch,
         capacity=args.gallery + 64 if args.churn else None,
-        quantize=args.quantize)
+        quantize=args.quantize, rerank_dtype=args.rerank_dtype)
     batcher = MicroBatcher(engine, window_ms=args.window_ms)
 
     log(f"warming compile for all batch buckets {engine.buckets}...")

@@ -706,3 +706,40 @@ def test_engine_quantized_sharded_route(tiny_engine):
         RetrievalEngine(eng._forward, gal, eng.image_paths,
                         image_size=eng.image_size, k_max=5, max_batch=8,
                         mesh=mesh, quantize=True)
+
+
+def test_engine_quantized_bf16_rerank(tiny_engine):
+    """rerank_dtype='bfloat16' keeps the rerank gallery resident in bf16
+    (capacity mode: 0.75 B/elem total); candidate selection is unchanged
+    and top-k indices must match the f32-rerank engine on self-retrieval,
+    values within bf16 row rounding."""
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    gal = np.asarray(eng.gallery)
+    q_f32 = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8, quantize=True)
+    q_bf16 = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8, quantize=True,
+        rerank_dtype="bfloat16")
+    assert q_bf16.gallery.dtype == jnp.bfloat16
+    v0, i0 = q_f32.search_arrays(imgs[[3, 8]])
+    v1, i1 = q_bf16.search_arrays(imgs[[3, 8]])
+    np.testing.assert_array_equal(i0, i1)
+    # bf16 row rounding puts an ABSOLUTE floor on near-zero distances:
+    # the self-match is ~0 in f32 but ~||x - bf16(x)||_2 ~ 0.004*||x||
+    # with bf16 rows (~0.02-0.05 here), so atol must cover that floor.
+    np.testing.assert_allclose(v0, v1, rtol=2e-2, atol=8e-2)
+
+    with pytest.raises(ValueError, match="rerank_dtype"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, quantize=True,
+                        rerank_dtype="int8")
+    with pytest.raises(ValueError, match="quantize=True"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size,
+                        rerank_dtype="bfloat16")
