@@ -191,7 +191,7 @@ def retrieve_quantized_fused(
     tile_q: int | None = None,
     tile_n: int | None = None,
     interpret: bool | None = None,
-    depth: int = 4,
+    depth: int = 8,
     seg_reduce: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streamed int8 candidate scan (Pallas) + exact f32 rerank.
@@ -235,8 +235,11 @@ def retrieve_quantized_fused(
     vb, ib = retrieve_quantized(
         jnp.take(queries, sel, axis=0), qg, gallery_f32, k=k,
         rerank_factor=rerank_factor)
-    vals = jnp.asarray(np.asarray(vals)).at[bad].set(vb[:nbad])
-    idx = jnp.asarray(np.asarray(idx)).at[bad].set(ib[:nbad])
+    # device-side merge: vals/idx and the fallback outputs live on the same
+    # device, so scatter there — pulling them to host first costs two extra
+    # tunnel round-trips (~28 ms each through axon) per fallback
+    vals = vals.at[bad].set(vb[:nbad])
+    idx = idx.at[bad].set(ib[:nbad])
     return vals, idx
 
 
@@ -288,7 +291,7 @@ def retrieve_quantized_sharded(
     if use_kernel is None:
         from art_sbir_tpu.retrieval.rank import FUSED_GALLERY_THRESHOLD
 
-        use_kernel = n_local >= FUSED_GALLERY_THRESHOLD and r <= 4 * 128
+        use_kernel = n_local >= FUSED_GALLERY_THRESHOLD and r <= 8 * 128
     interp = _resolve_interpret(interpret)
 
     qf = jnp.asarray(queries, jnp.float32)

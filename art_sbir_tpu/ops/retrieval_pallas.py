@@ -472,10 +472,14 @@ def retrieve_fused(
         # XLA fallback returns sqrt'd eps-folded distances; square for the
         # kernel's squared-value contract
         vb = jnp.square(vb)
+    # device-side merge (same device for kernel + fallback outputs): the
+    # host pull/re-push alternative costs ~2 tunnel RTTs per fallback. The
+    # sharded variant below keeps the host merge — its outputs carry mesh
+    # shardings that a mixed-operand scatter would have to reshard.
     if with_ranks:  # else keep the kernel's zero ranks uniformly
-        ranks = jnp.asarray(np.asarray(ranks)).at[bad].set(rb)
-    vals = jnp.asarray(np.asarray(vals)).at[bad].set(vb)
-    idx = jnp.asarray(np.asarray(idx)).at[bad].set(ib)
+        ranks = ranks.at[bad].set(rb)
+    vals = vals.at[bad].set(vb)
+    idx = idx.at[bad].set(ib)
     return ranks, vals, idx
 
 
@@ -600,7 +604,7 @@ def quant_candidates_fused(
     tile_q: int | None = None,
     tile_n: int | None = None,
     interpret: bool | None = None,
-    depth: int = 4,
+    depth: int = 8,
     seg_reduce: int = 8,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Streamed int8 candidate scan: (approx_scores, cand_idx, exact), each
@@ -619,13 +623,16 @@ def quant_candidates_fused(
 
     ``depth``/``seg_reduce`` trade VPU insert cost against certificate
     pass rate (failed rows recompute on the XLA scan). Defaults are the
-    measured 1M-row sweet spot (scripts/probe_quant_sweep.py): depth=4
-    with seg_reduce=8 keeps the fallback rate ~1e-2/row at r=40 while the
-    fold cuts the dominant VPU term 8x; depth=8, seg_reduce=1 is the
-    max-certificate setting (~3e-6/row lane overflow at r=80, but the
-    insert network then costs more than the bf16 fused kernel saves).
-    ``seg_reduce`` is clamped to the largest divisor of the per-tile
-    segment count.
+    measured END-TO-END 1M-row sweet spot (scripts/probe_quant_depth.py):
+    with the segment fold, depth=8's deeper per-lane files cost nothing
+    (19.5 vs 20.0 ms at r=40 — the fold, not the insert network, is the
+    VPU term) and drop the certificate failure rate from ~1e-2/row (r=40,
+    depth=4) to ~3e-6/row, which removes the fallback rescan from the
+    serving path entirely (at Q=4096 a 1e-2/row rate fails ~40 rows EVERY
+    call, and the padded XLA rescan's (Qb, N) lax.top_k serializes
+    ~10-90 ms behind a host sync). depth=4 remains the low-VMEM option
+    for tiny tiles. ``seg_reduce`` is clamped to the largest divisor of
+    the per-tile segment count.
     """
     if metric not in ("euclidean", "cosine"):
         raise ValueError(f"unknown metric {metric!r} (euclidean|cosine)")
