@@ -233,8 +233,9 @@ def bench_big_gallery(rtt: float) -> None:
 
     def q8_fast(qq):
         # serving-route config: r = rerank_factor(4) * k(10), kernel
-        # defaults depth=4 / seg_reduce=8 (measured sweet spot,
-        # scripts/probe_quant_sweep.py)
+        # defaults depth=8 / seg_reduce=8 (e2e-measured sweet spot:
+        # deep files are free under the fold and the certificate then
+        # ~never falls back, scripts/probe_quant_depth.py)
         q8, s_q = _symmetric_quantize(qq)
         _, cand, cert = quant_candidates_fused(
             q8, s_q, qg.q8, qg.scale, qg.sq_norm, r=40, metric="euclidean")

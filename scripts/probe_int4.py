@@ -37,7 +37,12 @@ bench.log(f"RTT {rtt * 1e3:.1f} ms")
 
 key = jax.random.key(7)
 kg, kq = jax.random.split(key)
-N, D, Q = bench.BIG_N, bench.DIM, bench.BIG_Q
+# leaner than the bench 1M regime: the first run at 1M died silently on
+# the chip (HBM pressure: f32+bf16+int8 galleries + (512, N) score temps
+# + top_k sort workspace); 500k x 1024 queries keeps every live buffer
+# comfortable and the quality statistics are about quantization noise vs
+# neighbor margins, not absolute N
+N, D, Q = 500_000, bench.DIM, 1024
 g = jax.random.normal(kg, (N, D), jnp.float32)
 gb = g.astype(jnp.bfloat16)
 gsq = jnp.sum(g * g, axis=1)
@@ -55,7 +60,10 @@ g4, sc4 = quantize_sim4(g)
 
 
 @jax.jit
-def scan4_chunk(qc):
+def scan4_chunk(qc, g4, sc4, gsq):
+    # galleries passed as ARGUMENTS: closing over them bakes them into
+    # the HLO as constants and the remote compiler rejects the request
+    # body (HTTP 413) — the failure mode that silently killed run 1
     q4, s_q = quantize_sim4(qc)
     dot = jax.lax.dot_general(
         q4, g4, (((1,), (1,)), ((), ())),
@@ -66,25 +74,33 @@ def scan4_chunk(qc):
     return cand
 
 
-for corpus, qx in [("flat (row+0.1n)",
-                    g[:Q] + 0.1 * jax.random.normal(kq, (Q, D))),
-                   ("separated (row+0.01n)",
-                    g[:Q] + 0.01 * jax.random.normal(kq, (Q, D)))]:
-    p = jnp.arange(Q, dtype=jnp.int32)
+corpora = [("flat (row+0.1n)",
+            g[:Q] + 0.1 * jax.random.normal(kq, (Q, D))),
+           ("separated (row+0.01n)",
+            g[:Q] + 0.01 * jax.random.normal(kq, (Q, D)))]
+
+# exact baselines first, then free the bf16 gallery copy
+p = jnp.arange(Q, dtype=jnp.int32)
+baselines = {}
+for corpus, qx in corpora:
     _, _, idx_ex, _ = retrieve_fused_core(qx, gb, p, k=10,
                                           precision="default")
-    idx_ex = jnp.asarray(np.asarray(idx_ex))
+    baselines[corpus] = jnp.asarray(np.asarray(idx_ex))
+del gb
 
+for corpus, qx in corpora:
+    idx_ex = baselines[corpus]
     # real int8 path at the default budget, for reference
     _, idx8 = retrieve_quantized_fused(qx, qg8, g, k=10, rerank_factor=4)
     bench.log(f"int8 r=40 {corpus}: overlap="
               f"{topk_overlap(jnp.asarray(np.asarray(idx8)), idx_ex):.4f}")
 
     # simulated-int4 candidates at increasing budgets, exact rerank
-    cand = jnp.concatenate(
-        [scan4_chunk(qx[i:i + 512]) for i in range(0, Q, 512)])
+    cand = np.concatenate(
+        [np.asarray(scan4_chunk(qx[i:i + 256], g4, sc4, gsq))
+         for i in range(0, Q, 256)])
     for r in (40, 80, 160, 320):
-        c = jnp.sort(cand[:, :r], axis=1)
+        c = jnp.sort(jnp.asarray(cand[:, :r]), axis=1)
         _, idx4 = _rerank_jit(qx, c, g, metric="euclidean", k=10)
         ov = topk_overlap(jnp.asarray(np.asarray(idx4)), idx_ex)
         bench.log(f"sim-int4 r={r} {corpus}: overlap={ov:.4f}")
