@@ -193,6 +193,7 @@ def retrieve_quantized_fused(
     interpret: bool | None = None,
     depth: int = 8,
     seg_reduce: int = 8,
+    device_get: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streamed int8 candidate scan (Pallas) + exact f32 rerank.
 
@@ -209,6 +210,11 @@ def retrieve_quantized_fused(
     :func:`quant_candidates_fused`) recompute through
     :func:`retrieve_quantized`, padded to power-of-two batches so the
     fallback compiles O(log Q) shapes, not one per bad-row count.
+
+    ``device_get=True`` returns NUMPY arrays, pulling (vals, idx,
+    certificate) in ONE device-to-host transfer instead of a certificate
+    sync followed by the caller's result pull — one fewer tunnel RTT
+    (~28 ms) for host-bound callers like the serving engine.
     """
     from art_sbir_tpu.ops.retrieval_pallas import quant_candidates_fused
 
@@ -224,7 +230,10 @@ def retrieve_quantized_fused(
         seg_reduce=seg_reduce)
     cand = jnp.sort(cand, axis=1)
     vals, idx = _rerank_jit(qf, cand, gallery_f32, metric=qg.metric, k=k)
-    cert_h = np.asarray(cert)
+    if device_get:
+        vals, idx, cert_h = jax.device_get((vals, idx, cert))
+    else:
+        cert_h = np.asarray(cert)
     if cert_h.all():
         return vals, idx
     bad = np.nonzero(cert_h == 0)[0]
@@ -235,6 +244,13 @@ def retrieve_quantized_fused(
     vb, ib = retrieve_quantized(
         jnp.take(queries, sel, axis=0), qg, gallery_f32, k=k,
         rerank_factor=rerank_factor)
+    if device_get:  # results already on host: one pull of the fallback
+        vb, ib = jax.device_get((vb, ib))
+        # device_get may hand back read-only views; copy the (Q, k) heads
+        vals, idx = np.array(vals), np.array(idx)
+        vals[bad] = vb[:nbad]
+        idx[bad] = ib[:nbad]
+        return vals, idx
     # device-side merge: vals/idx and the fallback outputs live on the same
     # device, so scatter there — pulling them to host first costs two extra
     # tunnel round-trips (~28 ms each through axon) per fallback

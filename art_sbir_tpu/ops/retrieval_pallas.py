@@ -424,6 +424,7 @@ def retrieve_fused(
     metric: str = "euclidean",
     seg_reduce: int | None = None,
     with_ranks: bool = True,
+    device_get: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(ranks, topk_values, topk_indices) over the streamed gallery.
 
@@ -455,12 +456,23 @@ def retrieve_fused(
 
     ``with_ranks=False`` skips the rank-of-positive accumulation (the
     serving path ranks nothing) and returns zero ranks.
+
+    ``device_get=True`` returns NUMPY arrays, pulling (ranks, vals, idx,
+    certificate) in ONE device-to-host transfer instead of syncing the
+    certificate first and letting the caller pull results in a second
+    round-trip — for callers that need host values anyway (the serving
+    engine), this halves the transfer count on the critical path
+    (~28 ms/RTT through the axon tunnel).
     """
     ranks, vals, idx, exact = retrieve_fused_core(
         queries, gallery, pos_idx, k=k, tile_q=tile_q, tile_n=tile_n,
         interpret=interpret, precision=precision, metric=metric,
         seg_reduce=seg_reduce, with_ranks=with_ranks)
-    exact_h = np.asarray(exact)
+    if device_get:
+        ranks, vals, idx, exact_h = jax.device_get(
+            (ranks, vals, idx, exact))
+    else:
+        exact_h = np.asarray(exact)
     if exact_h.all():
         return ranks, vals, idx
     bad = np.nonzero(exact_h == 0)[0]
@@ -472,6 +484,15 @@ def retrieve_fused(
         # XLA fallback returns sqrt'd eps-folded distances; square for the
         # kernel's squared-value contract
         vb = jnp.square(vb)
+    if device_get:  # results already on host: one pull of the fallback
+        rb, vb, ib = jax.device_get((rb, vb, ib))
+        # device_get may hand back read-only views; copy before writing
+        ranks, vals, idx = np.array(ranks), np.array(vals), np.array(idx)
+        if with_ranks:
+            ranks[bad] = rb
+        vals[bad] = vb
+        idx[bad] = ib
+        return ranks, vals, idx
     # device-side merge (same device for kernel + fallback outputs): the
     # host pull/re-push alternative costs ~2 tunnel RTTs per fallback. The
     # sharded variant below keeps the host merge — its outputs carry mesh
@@ -626,13 +647,15 @@ def quant_candidates_fused(
     measured END-TO-END 1M-row sweet spot (scripts/probe_quant_depth.py):
     with the segment fold, depth=8's deeper per-lane files cost nothing
     (19.5 vs 20.0 ms at r=40 — the fold, not the insert network, is the
-    VPU term) and drop the certificate failure rate from ~1e-2/row (r=40,
-    depth=4) to ~3e-6/row, which removes the fallback rescan from the
-    serving path entirely (at Q=4096 a 1e-2/row rate fails ~40 rows EVERY
-    call, and the padded XLA rescan's (Qb, N) lax.top_k serializes
-    ~10-90 ms behind a host sync). depth=4 remains the low-VMEM option
-    for tiny tiles. ``seg_reduce`` is clamped to the largest divisor of
-    the per-tile segment count.
+    VPU term) and cut the certificate failure count ~2-4x (fold
+    collisions dominate; flat 1M corpus, Q=4096: depth=8 fails 17 rows
+    at r=40 / 72 at r=80 vs depth=4's 27 / 290). That matters because
+    the padded XLA rescan's (Qb, N) lax.top_k is superlinear in the pad
+    bucket (~0 ms at Qb=32, 10.6 at 128, 89.2 at 512, behind a host
+    sync): at r=40 both depths land in the cheap bucket, at r=80 depth=8
+    is 1.7x faster e2e. depth=4 remains the low-VMEM option for tiny
+    tiles. ``seg_reduce`` is clamped to the largest divisor of the
+    per-tile segment count.
     """
     if metric not in ("euclidean", "cosine"):
         raise ValueError(f"unknown metric {metric!r} (euclidean|cosine)")

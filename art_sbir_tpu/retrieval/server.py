@@ -310,9 +310,11 @@ class RetrievalEngine:
                     emb, self._qg, gallery, self.mesh, k=self.k_max,
                     rerank_factor=self._rerank_factor)
             elif self._quant_fused:
+                # device_get: (vals, idx, certificate) ride ONE transfer
+                # — the response is host-bound anyway
                 vals, idx = retrieve_quantized_fused(
                     emb, self._qg, gallery, k=self.k_max,
-                    rerank_factor=self._rerank_factor)
+                    rerank_factor=self._rerank_factor, device_get=True)
             else:
                 vals, idx = retrieve_quantized(
                     emb, self._qg, gallery, k=self.k_max,
@@ -328,11 +330,13 @@ class RetrievalEngine:
                     emb, gallery, pos, self.mesh, k=self.k_max,
                     metric=self.metric, with_ranks=False)
             else:
+                # device_get: results + certificate in one transfer
                 _, vals, idx = retrieve_fused(
                     emb, gallery, pos, k=self.k_max, metric=self.metric,
-                    with_ranks=False)
+                    with_ranks=False, device_get=True)
             if self.metric == "euclidean":  # kernel reports squared dists
-                vals = jnp.sqrt(vals)
+                vals = np.sqrt(vals) if isinstance(vals, np.ndarray) \
+                    else jnp.sqrt(vals)
         else:
             vals, idx = self._program(jnp.asarray(images_u8), gallery, mask)
         return np.asarray(vals[:b]), np.asarray(idx[:b])

@@ -149,6 +149,21 @@ def test_quantized_fused_certificate_fallback(rng):
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
 
+    # device_get mode (one combined transfer + host merge): numpy outputs,
+    # same results through the forced-fallback branch
+    v2, i2 = retrieve_quantized_fused(jnp.asarray(qs), qg,
+                                      jnp.asarray(gal), k=k, depth=1,
+                                      device_get=True)
+    assert isinstance(v2, np.ndarray) and isinstance(i2, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(i0), i2)
+    np.testing.assert_allclose(np.asarray(v0), v2, rtol=1e-6)
+
+    # and through the no-fallback fast path (default depth)
+    v3, i3 = retrieve_quantized_fused(jnp.asarray(qs), qg,
+                                      jnp.asarray(gal), k=k,
+                                      device_get=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i3))
+
 
 @pytest.mark.parametrize("seg_reduce", [1, 2, 4])
 def test_quantized_fused_seg_reduce_parity(rng, seg_reduce):

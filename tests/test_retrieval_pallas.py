@@ -287,6 +287,17 @@ def test_fused_fold_collision_certificate(rng):
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
 
+    # device_get mode: numpy outputs, one combined transfer, host-side
+    # fallback merge — identical results through the flagged row
+    r2, v2, i2 = retrieve_fused(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=4,
+        tile_q=8, tile_n=256, interpret=True, seg_reduce=2,
+        device_get=True)
+    assert isinstance(v2, np.ndarray) and isinstance(i2, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(i0), i2)
+    np.testing.assert_array_equal(np.asarray(r0), r2)
+    np.testing.assert_allclose(np.asarray(v1), v2, rtol=1e-6)
+
 
 def test_fused_without_ranks(rng):
     """with_ranks=False (the serving path) must return the same top-k and
