@@ -257,6 +257,23 @@ def bench_big_gallery(rtt: float) -> None:
         f"top-10 overlap vs exact {ov:.4f}, certificate pass "
         f"{cert_frac:.4f}")
 
+    # END-TO-END serving route (engine regime: rerank_factor=4,
+    # device_get rides vals/idx/cert on one host transfer, fallback
+    # merged on host) — the latency a client of the big-N serving path
+    # sees, incl. tunnel RTTs (PERF.md "End-to-end serving latency")
+    def q8_e2e():
+        return retrieve_quantized_fused(q, qg, g, k=10, rerank_factor=4,
+                                        device_get=True)
+
+    q8_e2e()  # warm fast path + fallback shapes
+    e2e = float("inf")
+    for _ in range(max(ROUNDS, 6)):
+        t0 = time.perf_counter()
+        q8_e2e()
+        e2e = min(e2e, time.perf_counter() - t0)
+    log(f"1M-gallery int8 serving route e2e (device_get, incl. RTTs): "
+        f"{e2e*1e3:.0f} ms for {BIG_Q} queries = {BIG_Q/e2e:,.0f} qps")
+
 
 def bench_reference_loop(gallery: np.ndarray, queries: np.ndarray) -> float:
     """The reference's per-query evaluation recipe in torch (CPU)."""
