@@ -307,7 +307,12 @@ def retrieve_quantized_sharded(
     if use_kernel is None:
         from art_sbir_tpu.retrieval.rank import FUSED_GALLERY_THRESHOLD
 
-        use_kernel = n_local >= FUSED_GALLERY_THRESHOLD and r <= 8 * 128
+        # auto-route only inside the MEASURED kernel envelope: probes
+        # cover r<=80 and the exact kernel's extract-unroll is known-good
+        # to r=k=128; beyond that the r-unrolled extract loop's compile
+        # and VPU cost are unmeasured, so prefer the XLA scan (callers
+        # can still force the kernel via use_kernel=True)
+        use_kernel = n_local >= FUSED_GALLERY_THRESHOLD and r <= 128
     interp = _resolve_interpret(interpret)
 
     qf = jnp.asarray(queries, jnp.float32)

@@ -485,11 +485,16 @@ def retrieve_fused(
         # kernel's squared-value contract
         vb = jnp.square(vb)
     if device_get:  # results already on host: one pull of the fallback
-        rb, vb, ib = jax.device_get((rb, vb, ib))
-        # device_get may hand back read-only views; copy before writing
-        ranks, vals, idx = np.array(ranks), np.array(vals), np.array(idx)
+        # device_get may hand back read-only views; copy before writing.
+        # with_ranks=False (the serving path) keeps the kernel's zero
+        # ranks — skip the rb transfer and the ranks copy entirely.
         if with_ranks:
+            rb, vb, ib = jax.device_get((rb, vb, ib))
+            ranks = np.array(ranks)
             ranks[bad] = rb
+        else:
+            vb, ib = jax.device_get((vb, ib))
+        vals, idx = np.array(vals), np.array(idx)
         vals[bad] = vb
         idx[bad] = ib
         return ranks, vals, idx

@@ -234,28 +234,14 @@ def bench_big_gallery(rtt: float) -> None:
     def q8_fast(qq):
         # serving-route config: r = rerank_factor(4) * k(10), kernel
         # defaults depth=8 / seg_reduce=8 (e2e-measured sweet spot:
-        # deep files are free under the fold and the certificate then
-        # ~never falls back, scripts/probe_quant_depth.py)
+        # deep files are free under the fold and cut the flagged-row
+        # count 2-4x, scripts/probe_quant_depth.py)
         q8, s_q = _symmetric_quantize(qq)
         _, cand, cert = quant_candidates_fused(
             q8, s_q, qg.q8, qg.scale, qg.sq_norm, r=40, metric="euclidean")
         vals, _ = _rerank_jit(qq, jnp.sort(cand, axis=1), g,
                               metric="euclidean", k=10)
         return vals, cert
-
-    q8t = float("inf")
-    for _ in range(ROUNDS):
-        q8t = min(q8t, honest_timeit(lambda qq: q8_fast(qq)[0], q, 2, rtt))
-    # certificate + quality check through the public (fallback) wrapper
-    cert_frac = float(np.asarray(q8_fast(q)[1]).mean())
-    _, idx_q8 = retrieve_quantized_fused(q, qg, g, k=10, rerank_factor=4)
-    _, _, idx_ex, _ = retrieve_fused_core(q, gb, p, k=10,
-                                          precision="default")
-    ov = topk_overlap(idx_q8, idx_ex)
-    log(f"1M-gallery int8 streamed scan + exact rerank: {q8t*1e3:.0f} ms "
-        f"= {BIG_Q/q8t:,.0f} qps -> {fused/q8t:.2f}x over bf16 fused; "
-        f"top-10 overlap vs exact {ov:.4f}, certificate pass "
-        f"{cert_frac:.4f}")
 
     # END-TO-END serving route (engine regime: rerank_factor=4,
     # device_get rides vals/idx/cert on one host transfer, fallback
@@ -266,11 +252,22 @@ def bench_big_gallery(rtt: float) -> None:
                                         device_get=True)
 
     q8_e2e()  # warm fast path + fallback shapes
-    e2e = float("inf")
-    for _ in range(max(ROUNDS, 6)):
+    q8t, e2e = float("inf"), float("inf")
+    for _ in range(max(ROUNDS, 6)):  # interleave configs (time-shared chip)
+        q8t = min(q8t, honest_timeit(lambda qq: q8_fast(qq)[0], q, 2, rtt))
         t0 = time.perf_counter()
         q8_e2e()
         e2e = min(e2e, time.perf_counter() - t0)
+    # certificate + quality check through the public (fallback) wrapper
+    cert_frac = float(np.asarray(q8_fast(q)[1]).mean())
+    _, idx_q8 = retrieve_quantized_fused(q, qg, g, k=10, rerank_factor=4)
+    _, _, idx_ex, _ = retrieve_fused_core(q, gb, p, k=10,
+                                          precision="default")
+    ov = topk_overlap(idx_q8, idx_ex)
+    log(f"1M-gallery int8 streamed scan + exact rerank: {q8t*1e3:.0f} ms "
+        f"= {BIG_Q/q8t:,.0f} qps -> {fused/q8t:.2f}x over bf16 fused; "
+        f"top-10 overlap vs exact {ov:.4f}, certificate pass "
+        f"{cert_frac:.4f}")
     log(f"1M-gallery int8 serving route e2e (device_get, incl. RTTs): "
         f"{e2e*1e3:.0f} ms for {BIG_Q} queries = {BIG_Q/e2e:,.0f} qps")
 

@@ -298,6 +298,17 @@ def test_fused_fold_collision_certificate(rng):
     np.testing.assert_array_equal(np.asarray(r0), r2)
     np.testing.assert_allclose(np.asarray(v1), v2, rtol=1e-6)
 
+    # the serving configuration: with_ranks=False + device_get through
+    # the SAME flagged row (skips the rb pull, keeps zero ranks)
+    r3, v3, i3 = retrieve_fused(
+        jnp.array(queries), jnp.array(gal), jnp.array(pos), k=4,
+        tile_q=8, tile_n=256, interpret=True, seg_reduce=2,
+        device_get=True, with_ranks=False)
+    assert isinstance(v3, np.ndarray) and isinstance(i3, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(i0), i3)
+    np.testing.assert_array_equal(np.zeros_like(r3), r3)
+    np.testing.assert_allclose(np.asarray(v1), v3, rtol=1e-6)
+
 
 def test_fused_without_ranks(rng):
     """with_ranks=False (the serving path) must return the same top-k and
