@@ -305,14 +305,15 @@ def retrieve_quantized_sharded(
             "the mesh axis or pad the gallery")
     r = min(max(rerank_factor * k, k), n_local)
     if use_kernel is None:
-        from art_sbir_tpu.retrieval.rank import FUSED_GALLERY_THRESHOLD
+        from art_sbir_tpu.retrieval.rank import (
+            QUANT_FUSED_GALLERY_THRESHOLD)
 
         # auto-route only inside the MEASURED kernel envelope: probes
         # cover r<=80 and the exact kernel's extract-unroll is known-good
         # to r=k=128; beyond that the r-unrolled extract loop's compile
         # and VPU cost are unmeasured, so prefer the XLA scan (callers
         # can still force the kernel via use_kernel=True)
-        use_kernel = n_local >= FUSED_GALLERY_THRESHOLD and r <= 128
+        use_kernel = n_local >= QUANT_FUSED_GALLERY_THRESHOLD and r <= 128
     interp = _resolve_interpret(interpret)
 
     qf = jnp.asarray(queries, jnp.float32)

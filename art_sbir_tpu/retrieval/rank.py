@@ -36,6 +36,16 @@ from art_sbir_tpu.ops.distance import retrieve
 # 6.2x at 1M where the (Q, N) matrix stops fitting in HBM).
 FUSED_GALLERY_THRESHOLD = 50_000
 
+# int8 route crossover (retrieve_quantized's XLA scan vs the streamed
+# int8 kernel) — measured SEPARATELY from the bf16 one above: the
+# kernel's certificate-failure rate scales ~1/N (fold collisions,
+# ~C(r,2)*seg_reduce/N per row), so small galleries are fallback-heavy
+# and the XLA int8 scan wins far past the bf16 crossover. e2e at the
+# engine regime (Q=512, k=10, rerank_factor=4, device_get, v5e,
+# scripts/probe_quant_crossover.py): kernel 0.46x at 25k, 0.89x at
+# 400k, 1.21x at 700k, 1.54x at 1M (1.42-1.86x at Q=4096).
+QUANT_FUSED_GALLERY_THRESHOLD = 500_000
+
 
 def sketch_stem_to_name(sketch_path: Path | str, artworks_gallery: bool) -> Optional[str]:
     """Reference `inference.py:33-37` stem-parsing rules.

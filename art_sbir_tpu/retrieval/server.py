@@ -238,14 +238,19 @@ class RetrievalEngine:
                 self.gallery = self.gallery.astype(jnp.bfloat16)
             self._rerank_factor = int(rerank_factor)
             self.use_fused = False  # int8 scan replaces both routes
-            # same crossover as the exact path: above it, the XLA scan's
-            # (B, N) approx-score matrix costs more than the streaming
-            # int8 Pallas kernel's O(B) state (k_max <= 128 keeps the
-            # rerank candidate set within the kernel's per-lane capacity).
-            # The sharded path (mesh=) routes internally by SHARD size.
+            # int8-specific crossover (NOT the bf16 one): the kernel's
+            # certificate-failure rate scales ~1/N, so below ~500k the
+            # fallback rescans make it lose to the XLA int8 scan
+            # (rank.py::QUANT_FUSED_GALLERY_THRESHOLD, measured).
+            # k_max <= 128 keeps the rerank candidate set within the
+            # kernel's per-lane capacity. The sharded path (mesh=)
+            # routes internally by SHARD size.
+            from art_sbir_tpu.retrieval.rank import (
+                QUANT_FUSED_GALLERY_THRESHOLD)
+
             self._quant_fused = (
                 mesh is None
-                and self.gallery.shape[0] >= FUSED_GALLERY_THRESHOLD
+                and self.gallery.shape[0] >= QUANT_FUSED_GALLERY_THRESHOLD
                 and self.k_max <= 128)
 
         def embed(images_u8: jax.Array) -> jax.Array:

@@ -664,7 +664,7 @@ def test_engine_quantized_fused_route(tiny_engine, monkeypatch):
         max_batch=8, quantize=True)
     assert not q_xla._quant_fused
 
-    monkeypatch.setattr(rank_mod, "FUSED_GALLERY_THRESHOLD", 1)
+    monkeypatch.setattr(rank_mod, "QUANT_FUSED_GALLERY_THRESHOLD", 1)
     q_str = RetrievalEngine(
         eng._forward, np.asarray(eng.gallery), eng.image_paths,
         metric="euclidean", image_size=eng.image_size, k_max=5,
