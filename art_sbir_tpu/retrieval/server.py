@@ -241,17 +241,19 @@ class RetrievalEngine:
             # int8-specific crossover (NOT the bf16 one): the kernel's
             # certificate-failure rate scales ~1/N, so below ~500k the
             # fallback rescans make it lose to the XLA int8 scan
-            # (rank.py::QUANT_FUSED_GALLERY_THRESHOLD, measured).
-            # k_max <= 128 keeps the rerank candidate set within the
-            # kernel's per-lane capacity. The sharded path (mesh=)
-            # routes internally by SHARD size.
+            # (rank.py::QUANT_FUSED_GALLERY_THRESHOLD, measured). The
+            # candidate budget r = rerank_factor*k_max must stay inside
+            # the kernel's MEASURED envelope (r <= 128 — beyond it the
+            # r-unrolled extract loop is untimed compile/VPU territory,
+            # same bound as retrieve_quantized_sharded's auto-route).
+            # The sharded path (mesh=) routes internally by SHARD size.
             from art_sbir_tpu.retrieval.rank import (
                 QUANT_FUSED_GALLERY_THRESHOLD)
 
             self._quant_fused = (
                 mesh is None
                 and self.gallery.shape[0] >= QUANT_FUSED_GALLERY_THRESHOLD
-                and self.k_max <= 128)
+                and self._rerank_factor * self.k_max <= 128)
 
         def embed(images_u8: jax.Array) -> jax.Array:
             emb = self._forward(images_u8)
