@@ -94,6 +94,34 @@ def decode_paths(
         [decode_image(p, size, resize_mode, grayscale) for p in paths])
 
 
+def decode_bytes(
+    data: bytes, size: int, resize_mode: str = "square",
+    grayscale: bool = False, backend: str = "auto",
+) -> np.ndarray:
+    """Decode ONE in-memory image (the serving path's HTTP request
+    bodies) -> uint8 (size, size, C). Native C++ when available
+    (``decode_resize_batch_mem`` — no temp files, no GIL during decode),
+    PIL for anything it rejects; both produce bit-identical pixels
+    (tests/test_native_loader.py)."""
+    if backend not in ("auto", "native", "pil"):
+        raise ValueError(f"unknown decode backend {backend}")
+    if backend in ("auto", "native"):
+        from art_sbir_tpu.data import native_loader
+
+        use_native = native_loader.available()
+        if backend == "native" and not use_native:
+            raise native_loader.NativeUnavailable(
+                "native decode requested but libimgpipe is unavailable")
+        if use_native:
+            batch, failed = native_loader.decode_batch_mem(
+                [data], size, resize_mode, grayscale=grayscale, n_threads=1)
+            if not failed:
+                return batch[0]
+    import io
+
+    return decode_image(io.BytesIO(data), size, resize_mode, grayscale)
+
+
 class TripletLoader:
     """Batches a RetrievalCatalog's triplets.
 

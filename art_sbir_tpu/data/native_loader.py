@@ -58,6 +58,15 @@ def load(rebuild: bool = False) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
     ]
     lib.decode_resize_batch.restype = None
+    if not hasattr(lib, "decode_resize_batch_mem") and not rebuild:
+        return load(rebuild=True)  # stale .so from before the mem entry
+    lib.decode_resize_batch_mem.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.decode_resize_batch_mem.restype = None
     _lib = lib
     return lib
 
@@ -102,6 +111,40 @@ def decode_batch(
     )
     lib.decode_resize_batch(
         arr, n, size, _MODES[resize_mode], int(grayscale),
+        n_threads or default_threads(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    failed = np.nonzero(status)[0].tolist()
+    return out, failed
+
+
+def decode_batch_mem(
+    buffers: Sequence[bytes],
+    size: int,
+    resize_mode: str = "square",
+    grayscale: bool = False,
+    n_threads: Optional[int] = None,
+) -> Tuple[np.ndarray, List[int]]:
+    """:func:`decode_batch` over in-memory byte streams (no filesystem) —
+    the serving path's HTTP request bodies. Same status/fallback contract;
+    bit-identical to the PIL path on supported inputs."""
+    if resize_mode not in _MODES:
+        raise ValueError(f"unknown resize_mode {resize_mode}")
+    lib = load()
+    n = len(buffers)
+    ch = 1 if grayscale else 3
+    out = np.empty((n, size, size, ch), np.uint8)
+    status = np.zeros(n, np.int32)
+    if n == 0:
+        return out, []
+    # c_char_p keeps a borrowed pointer into each bytes object (kept
+    # alive by `buffers` for the call); lengths ride separately so
+    # embedded NULs are fine
+    bufs = (ctypes.c_char_p * n)(*buffers)
+    lens = (ctypes.c_longlong * n)(*[len(b) for b in buffers])
+    lib.decode_resize_batch_mem(
+        bufs, lens, n, size, _MODES[resize_mode], int(grayscale),
         n_threads or default_threads(),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

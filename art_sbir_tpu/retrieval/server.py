@@ -34,7 +34,6 @@ transport-agnostic (the test suite drives it in-process).
 
 from __future__ import annotations
 
-import io
 import queue
 import threading
 import time
@@ -46,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from art_sbir_tpu.data.loader import decode_image
+from art_sbir_tpu.data.loader import decode_bytes
 from art_sbir_tpu.ops.distance import pairwise_distance, top_k
 
 
@@ -288,10 +287,11 @@ class RetrievalEngine:
     # ------------------------------------------------------------ queries
 
     def decode(self, data: bytes) -> np.ndarray:
-        """Image bytes (PNG/JPEG/...) -> uint8 (S, S, 3) query, the same
-        PIL decode+resize as the offline gallery path."""
-        return decode_image(io.BytesIO(data), self.image_size,
-                            self.resize_mode)
+        """Image bytes (PNG/JPEG/...) -> uint8 (S, S, 3) query — the
+        native in-memory decoder when available (bit-identical to PIL,
+        no temp files), PIL otherwise; same pixels as the offline
+        gallery path either way."""
+        return decode_bytes(data, self.image_size, self.resize_mode)
 
     def search_arrays(
         self, images_u8: np.ndarray

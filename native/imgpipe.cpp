@@ -199,8 +199,11 @@ void jpeg_err_exit(j_common_ptr cinfo) {
     longjmp(e->jb, 1);
 }
 
-// -> rgb (h, w, 3); returns 0 ok / nonzero error
-int decode_jpeg(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
+// -> rgb (h, w, 3); returns 0 ok / nonzero error. Memory source so the
+// same decoder serves files (slurped by process_one) and HTTP request
+// bodies (decode_resize_batch_mem) — libjpeg's jpeg_mem_src.
+int decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& rgb,
+                int& w, int& h) {
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -210,7 +213,8 @@ int decode_jpeg(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
         return 3;
     }
     jpeg_create_decompress(&cinfo);
-    jpeg_stdio_src(&cinfo, f);
+    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+                 (unsigned long)len);
     jpeg_read_header(&cinfo, TRUE);
     if (cinfo.jpeg_color_space == JCS_CMYK ||
         cinfo.jpeg_color_space == JCS_YCCK) {
@@ -238,7 +242,22 @@ int decode_jpeg(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
     return 0;
 }
 
-int decode_png(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
+// libpng memory source: read_fn over a (ptr, remaining) cursor
+struct PngMem {
+    const uint8_t* p;
+    size_t n;
+    size_t off;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t want) {
+    PngMem* m = (PngMem*)png_get_io_ptr(png);
+    if (m->off + want > m->n) png_error(png, "png mem source truncated");
+    memcpy(out, m->p + m->off, want);
+    m->off += want;
+}
+
+int decode_png(const uint8_t* data, size_t len, std::vector<uint8_t>& rgb,
+               int& w, int& h) {
     png_structp png =
         png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
     if (!png) return 3;
@@ -251,7 +270,8 @@ int decode_png(FILE* f, std::vector<uint8_t>& rgb, int& w, int& h) {
         png_destroy_read_struct(&png, &info, nullptr);
         return 3;
     }
-    png_init_io(png, f);
+    PngMem mem{data, len, 0};
+    png_set_read_fn(png, &mem, png_mem_read);
     png_read_info(png, info);
     w = (int)png_get_image_width(png, info);
     h = (int)png_get_image_height(png, info);
@@ -322,23 +342,18 @@ int python_round_half(int num) {  // round(num / 2.0)
     return (t % 2 == 0) ? t : t + 1;
 }
 
-int process_one(const char* path, int size, int mode, int grayscale,
-                uint8_t* out) {
-    FILE* f = fopen(path, "rb");
-    if (!f) return 1;
-    unsigned char magic[8] = {0};
-    size_t got = fread(magic, 1, 8, f);
-    rewind(f);
+// decode+convert+resize one in-memory image (JPEG/PNG sniffed by magic)
+int process_buf(const uint8_t* data, size_t len, int size, int mode,
+                int grayscale, uint8_t* out) {
     std::vector<uint8_t> rgb;
     int w = 0, h = 0, rc;
-    if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-        rc = decode_jpeg(f, rgb, w, h);
-    } else if (got >= 8 && !memcmp(magic, "\x89PNG\r\n\x1a\n", 8)) {
-        rc = decode_png(f, rgb, w, h);
+    if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8) {
+        rc = decode_jpeg(data, len, rgb, w, h);
+    } else if (len >= 8 && !memcmp(data, "\x89PNG\r\n\x1a\n", 8)) {
+        rc = decode_png(data, len, rgb, w, h);
     } else {
         rc = 2;  // unsupported container -> PIL fallback
     }
-    fclose(f);
     if (rc) return rc;
     if (w <= 0 || h <= 0) return 3;
 
@@ -371,6 +386,25 @@ int process_one(const char* path, int size, int mode, int grayscale,
     return 0;
 }
 
+int process_one(const char* path, int size, int mode, int grayscale,
+                uint8_t* out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    // slurp: image files are MBs; the decode already buffers w*h*3 anyway
+    fseek(f, 0, SEEK_END);
+    long fl = ftell(f);
+    rewind(f);
+    if (fl < 0) {
+        fclose(f);
+        return 1;
+    }
+    std::vector<uint8_t> buf((size_t)fl);
+    size_t got = fl ? fread(buf.data(), 1, (size_t)fl, f) : 0;
+    fclose(f);
+    if (got != (size_t)fl) return 1;
+    return process_buf(buf.data(), buf.size(), size, mode, grayscale, out);
+}
+
 }  // namespace
 
 extern "C" {
@@ -390,6 +424,35 @@ void decode_resize_batch(const char** paths, int n, int size, int mode,
             if (i >= n) return;
             status[i] = process_one(paths[i], size, mode, grayscale,
                                     out + (size_t)i * stride);
+        }
+    };
+    int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+    if (nt == 1) {
+        worker();
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+}
+
+// In-memory variant for byte streams that never touch the filesystem
+// (the serving path's HTTP request bodies). bufs/lens: n buffers; other
+// parameters and the status contract match decode_resize_batch.
+void decode_resize_batch_mem(const unsigned char** bufs,
+                             const long long* lens, int n, int size,
+                             int mode, int grayscale, int n_threads,
+                             unsigned char* out, int* status) {
+    int ch = grayscale ? 1 : 3;
+    size_t stride = (size_t)size * size * ch;
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n) return;
+            status[i] = process_buf(bufs[i], (size_t)lens[i], size, mode,
+                                    grayscale, out + (size_t)i * stride);
         }
     };
     int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);

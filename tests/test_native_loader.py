@@ -68,6 +68,45 @@ def test_small_target_size(corpus):
         )
 
 
+@pytest.mark.parametrize("mode", ["square", "shortest_crop"])
+def test_mem_batch_bit_parity(corpus, mode):
+    """decode_resize_batch_mem (the serving path's in-memory entry) must
+    be bit-identical to both the file-based native path and PIL."""
+    buffers = [Path(p).read_bytes() for p in corpus]
+    batch, failed = native_loader.decode_batch_mem(buffers, 224, mode)
+    assert failed == []
+    file_batch, _ = native_loader.decode_batch(corpus, 224, mode)
+    np.testing.assert_array_equal(batch, file_batch)
+    for i, p in enumerate(corpus):
+        np.testing.assert_array_equal(
+            batch[i], decode_image(p, 224, mode), err_msg=str(p))
+
+
+def test_mem_batch_unsupported_flags_and_decode_bytes_falls_back(tmp_path):
+    """Unsupported containers (here: BMP) must be flagged by the native
+    mem path and decoded by PIL inside loader.decode_bytes — and
+    decode_bytes must agree with the PIL reference on supported bytes."""
+    import io
+
+    from art_sbir_tpu.data.loader import decode_bytes
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (60, 80, 3), np.uint8)
+    bmp = io.BytesIO()
+    Image.fromarray(arr).save(bmp, format="BMP")
+    png = io.BytesIO()
+    Image.fromarray(arr).save(png, format="PNG")
+
+    _, failed = native_loader.decode_batch_mem(
+        [bmp.getvalue(), png.getvalue()], 32, "square")
+    assert failed == [0]
+
+    for data in (bmp.getvalue(), png.getvalue()):
+        got = decode_bytes(data, 32, "square")
+        ref = decode_image(io.BytesIO(data), 32, "square")
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_corrupt_and_unsupported_reported(tmp_path, corpus):
     bad = tmp_path / "bad.jpg"
     bad.write_bytes(b"\xff\xd8garbage-that-is-not-a-jpeg")
