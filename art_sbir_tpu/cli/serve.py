@@ -118,7 +118,9 @@ def build_engine(args):
                     capacity=getattr(args, "capacity", None),
                     mesh=mesh, quantize=getattr(args, "quantize", False),
                     rerank_factor=getattr(args, "rerank_factor", 4),
-                    rerank_dtype=getattr(args, "rerank_dtype", "float32"))
+                    rerank_dtype=getattr(args, "rerank_dtype", "float32"),
+                    ivf_nlist=getattr(args, "ivf_nlist", None),
+                    ivf_nprobe=getattr(args, "ivf_nprobe", 8))
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -170,6 +172,9 @@ def make_handler(engine, batcher):
                     "metric": engine.metric,
                     "image_size": engine.image_size,
                     "k_max": engine.k_max,
+                    **({"ivf": {**engine._ivf.stats(),
+                                "nprobe": engine._ivf_nprobe}}
+                       if engine._ivf is not None else {}),
                 })
             elif self.path == "/stats":
                 self._json(200, batcher.stats.snapshot())
@@ -260,6 +265,14 @@ def main(argv=None):
                    help="bfloat16 keeps the rerank gallery resident in "
                         "bf16 (0.75 B/elem total vs 1.25 f32) at ~1e-2 "
                         "relative value rounding; quantized mode only")
+    p.add_argument("--ivf_nlist", type=int, default=None,
+                   help="build an IVF clustered index (ops/ivf.py) and "
+                        "probe --ivf_nprobe clusters per query instead of "
+                        "a full scan (0 = auto ~2*sqrt(N) clusters); "
+                        "approximate — recall set by nprobe, scored "
+                        "distances exact; immutable single-device only")
+    p.add_argument("--ivf_nprobe", type=int, default=8,
+                   help="clusters probed per query in --ivf_nlist mode")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

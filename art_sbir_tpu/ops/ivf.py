@@ -1,0 +1,344 @@
+"""IVF (inverted-file) clustered index — sublinear candidate scan for serving.
+
+A beyond-reference scale feature (the reference's retrieval is a per-query
+f32 full scan, `/root/reference/inference.py:43-56`; this framework's full
+scans live in `ops/distance.py` / `ops/retrieval_pallas.py` / `ops/quant.py`).
+
+Why it exists — the serving-regime arithmetic. Every full-scan route reads
+the entire resident gallery per dispatch (N*D bytes), amortized over the
+queries in the batch. Offline eval batches thousands of queries, so the
+scan is cheap per query and EXACT — full scans win there and keep the
+eval contract. The serving engine dispatches coalesced micro-batches of
+~1-32 requests (measured mean ~4, PERF.md), so per dispatch a full scan
+reads N*D bytes to answer a handful of queries. An IVF probe reads
+``B * nprobe * Cpad * D`` gathered bytes instead — independent of N — so
+its advantage is exactly where serving lives: small B, big N
+(break-even at ``B * nprobe * Cpad ~= N``; e.g. 600k rows, nprobe=8,
+Cpad~1k: ~9x less gallery traffic at B=8).
+
+TPU-native design (static shapes throughout):
+
+* **Build**: k-means on device — Lloyd's iterations as one jitted
+  ``lax.scan`` over row chunks (assignment = MXU ``pairwise_sq_l2``
+  argmin; centroid update = one-hot matmul accumulation), optionally on a
+  row sample; cosine runs spherical k-means (rows and centroids
+  L2-normalized, so euclidean argmin == cosine argmax).
+* **Layout**: clusters are padded to one fixed width ``Cpad`` (max count,
+  lane-aligned) in a ``(C, Cpad)`` int32 table of gallery row ids;
+  pad slots hold ``N`` (one past the gallery) and rank at ``+inf``.
+  No gallery reorder, no duplicated rows — the table is the only
+  addition (4 * C * Cpad bytes).
+* **Search** (jitted, ``nprobe``/``k`` static): query->centroid distances
+  (tiny MXU matmul) -> ``lax.top_k`` probe -> candidate ids gathered and
+  SORTED ASCENDING per query (pads sort to the end) -> one gather of the
+  candidate rows -> exact f32 row-wise distances (`ops/distance.py`
+  torch-parity forms) -> stable argsort top-k. Because candidates are
+  index-sorted before the stable argsort, exact-distance ties break by
+  gallery index — the exact path's documented tie order — so with
+  ``nprobe == nlist`` the results are IDENTICAL to
+  :func:`art_sbir_tpu.ops.distance.retrieve` (regression-locked).
+
+Approximation contract: the only error mode is a true top-k row living in
+an unprobed cluster (distances of scored candidates are exact).
+Recall is measured by :func:`art_sbir_tpu.ops.quant.topk_overlap` and
+regression-locked in ``tests/test_ops_ivf.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from art_sbir_tpu.ops.distance import (
+    cosine_distance,
+    euclidean_distance,
+    pairwise_distance,
+    pairwise_sq_l2,
+)
+
+_METRICS = ("euclidean", "cosine")
+
+
+class IVFIndex(NamedTuple):
+    """Clustered index over a gallery (which stays owned by the caller).
+
+    ``row_ids`` slot value ``N`` (= gallery rows, one past the end) marks
+    padding. ``metric`` is host-side metadata, kept out of jitted cores.
+    """
+
+    centroids: jax.Array  # (C, D) f32; L2-normalized for cosine
+    row_ids: jax.Array    # (C, Cpad) int32, pad slots = N
+    counts: np.ndarray    # (C,) int64 host copy (diagnostics/routing)
+    metric: str
+
+    @property
+    def nlist(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def pad_width(self) -> int:
+        return int(self.row_ids.shape[1])
+
+    def stats(self) -> dict:
+        """Cluster-balance diagnostics (imbalance = scan-cost multiplier:
+        search gathers ``nprobe * Cpad`` slots, so Cpad/mean-count is the
+        padding overhead paid per probe)."""
+        c = self.counts
+        mean = float(c.mean()) if len(c) else 0.0
+        return {
+            "nlist": self.nlist,
+            "pad_width": self.pad_width,
+            "min_count": int(c.min()) if len(c) else 0,
+            "max_count": int(c.max()) if len(c) else 0,
+            "mean_count": mean,
+            "empty_clusters": int((c == 0).sum()),
+            "pad_overhead": (self.pad_width / mean) if mean else 0.0,
+        }
+
+
+def _l2n(x: jax.Array) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "spherical"))
+def _kmeans_step(x: jax.Array, w: jax.Array, cent: jax.Array,
+                 *, chunk: int, spherical: bool) -> jax.Array:
+    """One Lloyd's iteration over (padded) rows ``x`` with row weights
+    ``w`` (0 for pad rows). Empty clusters keep their centroid."""
+    c, d = cent.shape
+    xr = x.reshape(-1, chunk, d)
+    wr = w.reshape(-1, chunk)
+
+    def body(carry, inp):
+        sums, counts = carry
+        xc, wc = inp
+        d2 = pairwise_sq_l2(xc, cent, precision="default")
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, c, dtype=jnp.float32) * wc[:, None]
+        sums = sums + jnp.dot(onehot.T, xc,
+                              preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=0)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(
+        body, (jnp.zeros((c, d), jnp.float32), jnp.zeros(c, jnp.float32)),
+        (xr, wr))
+    new = jnp.where(counts[:, None] > 0,
+                    sums / jnp.maximum(counts, 1.0)[:, None], cent)
+    return _l2n(new) if spherical else new
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign(x: jax.Array, cent: jax.Array, *, chunk: int) -> jax.Array:
+    """Nearest-centroid label per (padded) row, scan-chunked."""
+    d = cent.shape[1]
+    xr = x.reshape(-1, chunk, d)
+
+    def body(_, xc):
+        d2 = pairwise_sq_l2(xc, cent, precision="default")
+        return None, jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    _, labels = jax.lax.scan(body, None, xr)
+    return labels.reshape(-1)
+
+
+def _pad_rows(x: jax.Array, chunk: int) -> Tuple[jax.Array, jax.Array, int]:
+    n = x.shape[0]
+    rem = (-n) % chunk
+    w = jnp.concatenate([jnp.ones(n, jnp.float32),
+                         jnp.zeros(rem, jnp.float32)])
+    if rem:
+        x = jnp.concatenate([x, jnp.zeros((rem, x.shape[1]), x.dtype)])
+    return x, w, n
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _kmeanspp_init(x: jax.Array, key: jax.Array, *, c: int) -> jax.Array:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007): each next center
+    is sampled ∝ squared distance to the nearest chosen center. Random
+    row init collapses centroids onto dense blobs and strands others
+    empty; ++ seeding spreads them — O(C·N·D), one fori_loop."""
+    n, d = x.shape
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    cent0 = jnp.zeros((c, d), jnp.float32).at[0].set(x[first])
+    d2min0 = jnp.sum(jnp.square(x - x[first]), axis=1)
+
+    def body(i, carry):
+        cent, d2min, key = carry
+        key, sub = jax.random.split(key)
+        # duplicates of chosen centers have d2min == 0 -> -inf logits;
+        # if EVERY row is a duplicate, fall back to uniform
+        logits = jnp.where(d2min > 0, jnp.log(jnp.maximum(d2min, 1e-30)),
+                           -jnp.inf)
+        logits = jnp.where(jnp.any(d2min > 0), logits,
+                           jnp.zeros_like(logits))
+        idx = jax.random.categorical(sub, logits)
+        newc = x[idx]
+        cent = cent.at[i].set(newc)
+        d2min = jnp.minimum(d2min, jnp.sum(jnp.square(x - newc), axis=1))
+        return cent, d2min, key
+
+    cent, _, _ = jax.lax.fori_loop(1, c, body, (cent0, d2min0, key))
+    return cent
+
+
+def kmeans(
+    x: jax.Array,
+    n_clusters: int,
+    *,
+    iters: int = 10,
+    seed: int = 0,
+    chunk: int = 16384,
+    spherical: bool = False,
+) -> jax.Array:
+    """Device Lloyd's k-means -> (C, D) f32 centroids.
+
+    k-means++ seeded (see :func:`_kmeanspp_init`). ``spherical=True``
+    re-normalizes centroids each iteration (cosine geometry; expects
+    pre-normalized ``x``). Deterministic for a given (seed, shapes)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    if not 1 <= n_clusters <= n:
+        raise ValueError(f"n_clusters must be in [1, {n}], got {n_clusters}")
+    cent = _kmeanspp_init(x, jax.random.PRNGKey(seed), c=n_clusters)
+    if spherical:
+        cent = _l2n(cent)
+    chunk = min(chunk, max(n, 1))
+    xp, w, _ = _pad_rows(x, chunk)
+    for _ in range(iters):
+        cent = _kmeans_step(xp, w, cent, chunk=chunk, spherical=spherical)
+    return cent
+
+
+def build_ivf(
+    gallery: jax.Array,
+    n_clusters: Optional[int] = None,
+    *,
+    metric: str = "euclidean",
+    iters: int = 10,
+    seed: int = 0,
+    sample: int = 131072,
+    chunk: int = 16384,
+) -> IVFIndex:
+    """Cluster a gallery into an :class:`IVFIndex`.
+
+    ``n_clusters`` defaults to ``~2*sqrt(N)`` (the classic IVF sizing:
+    probe cost ~ nprobe*N/C, centroid cost ~ C — balanced near sqrt(N)).
+    k-means fits on a seeded ``sample`` of rows (build cost bound), then
+    every row is assigned. Cosine clusters on L2-normalized rows with
+    spherical k-means so assignment geometry matches the search metric."""
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
+    g = jnp.asarray(gallery, jnp.float32)
+    n = int(g.shape[0])
+    if n == 0:
+        raise ValueError("cannot build an IVF index over an empty gallery")
+    if n_clusters is None:
+        n_clusters = max(1, min(n, int(2 * np.sqrt(n))))
+    gx = _l2n(g) if metric == "cosine" else g
+    fit = gx
+    sample = max(sample, n_clusters)  # the fit set must cover the init
+    if n > sample:
+        sel = jax.random.choice(jax.random.PRNGKey(seed + 1), n, (sample,),
+                                replace=False)
+        fit = jnp.take(gx, sel, axis=0)
+    cent = kmeans(fit, n_clusters, iters=iters, seed=seed,
+                  chunk=min(chunk, int(fit.shape[0])),
+                  spherical=(metric == "cosine"))
+
+    ck = min(chunk, n)
+    gp, _, _ = _pad_rows(gx, ck)
+    labels = np.asarray(_assign(gp, cent, chunk=ck))[:n]
+
+    counts = np.bincount(labels, minlength=n_clusters).astype(np.int64)
+    pad = int(counts.max()) if n_clusters else 1
+    pad = max(8, -(-pad // 8) * 8)  # lane-friendly width, >= 8
+    table = np.full((n_clusters, pad), n, dtype=np.int32)
+    order = np.argsort(labels, kind="stable")  # ids ascend within a cluster
+    offsets = np.zeros(n_clusters, np.int64)
+    offsets[1:] = np.cumsum(counts)[:-1]
+    for c in range(n_clusters):
+        rows = order[offsets[c]: offsets[c] + counts[c]]
+        table[c, : len(rows)] = rows
+    return IVFIndex(cent, jnp.asarray(table), counts, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "nprobe"))
+def _ivf_core(
+    queries: jax.Array,
+    centroids: jax.Array,
+    row_ids: jax.Array,
+    gallery: jax.Array,
+    *,
+    metric: str,
+    k: int,
+    nprobe: int,
+) -> Tuple[jax.Array, jax.Array]:
+    n = gallery.shape[0]
+    qf = jnp.asarray(queries, jnp.float32)
+    qp = _l2n(qf) if metric == "cosine" else qf
+    # centroid probe: tiny (Q, C) MXU matmul; bf16 passes suffice — the
+    # probe ranking only selects clusters, scored distances stay exact f32
+    cdist = (pairwise_sq_l2(qp, centroids, precision="default")
+             if metric == "euclidean"
+             else -jnp.dot(qp, centroids.T,
+                           preferred_element_type=jnp.float32))
+    _, probe = jax.lax.top_k(-cdist, nprobe)  # (Q, P)
+    ids = jnp.take(row_ids, probe, axis=0).reshape(qf.shape[0], -1)
+    ids = jnp.sort(ids, axis=1)  # pads (=n) last; ties break by gallery idx
+    rows = jnp.take(gallery, jnp.minimum(ids, n - 1),
+                    axis=0).astype(jnp.float32)  # (Q, R, D)
+    qx = qf[:, None, :]
+    exact = (euclidean_distance(qx, rows) if metric == "euclidean"
+             else cosine_distance(qx, rows))
+    exact = jnp.where(ids >= n, jnp.inf, exact)
+    order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
+    vals = jnp.take_along_axis(exact, order, axis=1)
+    idx = jnp.take_along_axis(ids, order, axis=1)
+    return vals, idx
+
+
+def ivf_search(
+    queries: jax.Array,
+    index: IVFIndex,
+    gallery: jax.Array,
+    *,
+    nprobe: int = 8,
+    k: int = 10,
+    row_budget_bytes: int = 1 << 30,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate top-k over the probed clusters -> (values, indices).
+
+    Scored distances are EXACT (torch-parity row forms on gathered f32
+    rows; ``gallery`` may be bf16-resident — rows cast after the gather,
+    like :func:`art_sbir_tpu.ops.quant._rerank`). Queries are chunked so
+    the gathered (Qc, nprobe*Cpad, D) candidate block stays under
+    ``row_budget_bytes``. Slots past the valid candidates rank at
+    ``+inf`` with index ``N`` — callers that can see them (k > candidates
+    in the probed clusters) must filter non-finite values, as the serving
+    engine does."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    nprobe = min(nprobe, index.nlist)
+    n = int(gallery.shape[0])
+    r = nprobe * index.pad_width
+    k = min(k, r, n)
+    d = int(gallery.shape[1])
+    qc = max(1, int(row_budget_bytes // max(r * d * 4, 1)))
+    nq = queries.shape[0]
+    if nq == 0:
+        return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32))
+    outs = [
+        _ivf_core(queries[i: i + qc], index.centroids, index.row_ids,
+                  gallery, metric=index.metric, k=k, nprobe=nprobe)
+        for i in range(0, nq, qc)
+    ]
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]))

@@ -107,6 +107,8 @@ class RetrievalEngine:
         quantize: bool = False,
         rerank_factor: int = 4,
         rerank_dtype: str = "float32",
+        ivf_nlist: Optional[int] = None,
+        ivf_nprobe: int = 8,
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`,
         :meth:`remove`). The gallery is padded to a fixed ``capacity``
@@ -142,7 +144,17 @@ class RetrievalEngine:
         rounding in the reported values (~1e-2 relative, plus an
         ABSOLUTE floor ~0.004*||row|| on near-zero euclidean distances
         such as self-matches; candidate selection is unchanged and
-        rerank math stays f32)."""
+        rerank math stays f32).
+
+        ``ivf_nlist``: build an IVF clustered index at startup
+        (:mod:`art_sbir_tpu.ops.ivf`; 0 = auto ~2*sqrt(N) clusters) and
+        answer queries by probing the ``ivf_nprobe`` nearest clusters
+        instead of a full scan. Approximate (recall set by nprobe;
+        scored distances stay exact), aimed at the serving regime: a
+        full scan reads the whole N*D gallery per coalesced dispatch,
+        the probe gathers ~B*nprobe*Cpad rows — independent of N.
+        Immutable single-device indexes only (no ``capacity``/``mesh``/
+        ``quantize`` in v1)."""
         n0 = int(gallery_features.shape[0])
         if n0 == 0 and capacity is None:
             raise ValueError("cannot serve an empty gallery "
@@ -209,6 +221,22 @@ class RetrievalEngine:
                           and metric in ("euclidean", "cosine")
                           and self.gallery.shape[0] >= FUSED_GALLERY_THRESHOLD
                           and self.k_max <= 128)
+
+        self._ivf = None
+        self._ivf_nprobe = int(ivf_nprobe)
+        if ivf_nlist is not None:
+            if capacity is not None:
+                raise ValueError("IVF serves immutable indexes only (the "
+                                 "cluster table does not track online "
+                                 "adds); drop capacity=")
+            if mesh is not None or quantize:
+                raise ValueError("ivf_nlist does not compose with mesh=/"
+                                 "quantize= yet — pick one scan strategy")
+            from art_sbir_tpu.ops.ivf import build_ivf
+
+            self._ivf = build_ivf(
+                self.gallery, int(ivf_nlist) or None, metric=metric)
+            self.use_fused = False  # the probe replaces both scan routes
 
         self._qg = None
         self._quant_fused = False
@@ -306,7 +334,13 @@ class RetrievalEngine:
             images_u8 = np.concatenate([images_u8, pad])
         with self._lock:  # consistent (gallery, mask) snapshot
             gallery, mask = self.gallery, self._mask
-        if self._qg is not None:
+        if self._ivf is not None:
+            from art_sbir_tpu.ops.ivf import ivf_search
+
+            emb = self._embed(jnp.asarray(images_u8))
+            vals, idx = ivf_search(emb, self._ivf, gallery,
+                                   nprobe=self._ivf_nprobe, k=self.k_max)
+        elif self._qg is not None:
             from art_sbir_tpu.ops.quant import (retrieve_quantized,
                                                 retrieve_quantized_fused,
                                                 retrieve_quantized_sharded)

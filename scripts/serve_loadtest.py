@@ -62,6 +62,11 @@ def main() -> None:
                    help="run the gallery as an online index and mutate it "
                         "(add/remove via HTTP) from one extra thread while "
                         "the search clients hammer it")
+    p.add_argument("--ivf_nlist", type=int, default=None,
+                   help="serve through an IVF clustered index (ops/ivf.py; "
+                        "0 = auto nlist); immutable — excludes "
+                        "--churn/--quantize")
+    p.add_argument("--ivf_nprobe", type=int, default=8)
     args = p.parse_args()
 
     import jax
@@ -98,7 +103,10 @@ def main() -> None:
         forward, gallery, [f"img_{i}" for i in range(args.gallery)],
         image_size=s, k_max=10, max_batch=args.max_batch,
         capacity=args.gallery + 64 if args.churn else None,
-        quantize=args.quantize, rerank_dtype=args.rerank_dtype)
+        quantize=args.quantize, rerank_dtype=args.rerank_dtype,
+        ivf_nlist=args.ivf_nlist, ivf_nprobe=args.ivf_nprobe)
+    if engine._ivf is not None:
+        log(f"IVF index: {engine._ivf.stats()}")
     batcher = MicroBatcher(engine, window_ms=args.window_ms)
 
     log(f"warming compile for all batch buckets {engine.buckets}...")

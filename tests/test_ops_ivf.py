@@ -1,0 +1,174 @@
+"""IVF clustered index (`ops/ivf.py`) — build, exactness, recall contracts.
+
+The reference has no approximate index (its retrieval is a per-query f32
+full scan, reference `inference.py:43-56`); these tests lock the
+beyond-reference IVF feature's contracts:
+
+* k-means recovers separated blobs (assignment purity);
+* ``nprobe == nlist`` is IDENTICAL to the exact path (`ops/distance.py`
+  retrieve) — values, indices, and gallery-index tie order;
+* recall on clustered data is high at small nprobe and monotone in it;
+* padding/chunking/degenerate-k edge cases.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from art_sbir_tpu.ops.distance import retrieve
+from art_sbir_tpu.ops.ivf import IVFIndex, build_ivf, ivf_search, kmeans
+from art_sbir_tpu.ops.quant import topk_overlap
+
+
+def _blobs(rng, n_per, centers, d, scale=0.05):
+    """Well-separated gaussian blobs -> (rows, labels)."""
+    rows, labels = [], []
+    for i, c in enumerate(centers):
+        rows.append(c + scale * rng.standard_normal((n_per, d)))
+        labels += [i] * n_per
+    x = np.concatenate(rows).astype(np.float32)
+    perm = rng.permutation(len(x))
+    return x[perm], np.asarray(labels)[perm]
+
+
+def test_kmeans_recovers_separated_blobs():
+    rng = np.random.default_rng(0)
+    d = 16
+    centers = rng.standard_normal((4, d)) * 5.0
+    x, labels = _blobs(rng, 50, centers, d)
+    cent = np.asarray(kmeans(jnp.asarray(x), 4, iters=15, seed=3))
+    # every true center has a learned centroid within the blob scale
+    dist = np.linalg.norm(centers[:, None] - cent[None], axis=-1)
+    assert dist.min(axis=1).max() < 0.5
+    # and the learned centroids are a permutation (no two collapse)
+    assert len(set(dist.argmin(axis=1))) == 4
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_full_probe_matches_exact_path(metric):
+    rng = np.random.default_rng(1)
+    g = rng.standard_normal((200, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 8, metric=metric, iters=5, seed=0)
+    vals, ids = ivf_search(jnp.asarray(q), idx, jnp.asarray(g),
+                           nprobe=idx.nlist, k=7)
+    _, ev, ei = retrieve(jnp.asarray(q), jnp.asarray(g),
+                         jnp.zeros(16, jnp.int32), k=7, metric=metric)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ei))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ev),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_full_probe_tie_order_matches_exact_path():
+    """Duplicate gallery rows land in one cluster (identical vectors share
+    an argmin), but ties must still break by GALLERY INDEX across the
+    probed candidate set — the exact path's documented order."""
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    g = np.concatenate([base, base[:13]])  # rows i and 40+i are duplicates
+    q = base[:6] + 0.01 * rng.standard_normal((6, 8)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 5, iters=5, seed=1)
+    vals, ids = ivf_search(jnp.asarray(q), idx, jnp.asarray(g),
+                           nprobe=idx.nlist, k=10)
+    _, ev, ei = retrieve(jnp.asarray(q), jnp.asarray(g),
+                         jnp.zeros(6, jnp.int32), k=10)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ei))
+
+
+def test_recall_on_clustered_data_and_monotone_in_nprobe():
+    rng = np.random.default_rng(3)
+    d = 24
+    centers = rng.standard_normal((16, d)) * 4.0
+    g, _ = _blobs(rng, 64, centers, d, scale=0.3)
+    q = g[rng.integers(0, len(g), 32)] + 0.05 * rng.standard_normal(
+        (32, d)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 16, iters=10, seed=0)
+    _, _, exact_ids = retrieve(jnp.asarray(q), jnp.asarray(g),
+                               jnp.zeros(32, jnp.int32), k=10)
+    recalls = []
+    for nprobe in (1, 2, 4, 16):
+        _, ids = ivf_search(jnp.asarray(q), idx, jnp.asarray(g),
+                            nprobe=nprobe, k=10)
+        recalls.append(topk_overlap(ids, exact_ids))
+    # on blob data one probe already lands most neighbors; full probe = 1
+    assert recalls[0] > 0.8
+    assert recalls[-1] == 1.0
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
+def test_padding_and_small_k_edges():
+    """Uneven clusters pad to one width; k beyond the probed candidates
+    yields +inf values with out-of-gallery indices (callers filter)."""
+    rng = np.random.default_rng(4)
+    # 3 rows near zero, 29 rows far away -> very uneven clusters
+    g = np.concatenate([
+        0.01 * rng.standard_normal((3, 8)),
+        10.0 + rng.standard_normal((29, 8)),
+    ]).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 2, iters=8, seed=0)
+    st = idx.stats()
+    assert st["nlist"] == 2 and st["pad_width"] % 8 == 0
+    assert st["min_count"] + st["max_count"] == 32
+    q = np.zeros((1, 8), np.float32)
+    vals, ids = ivf_search(jnp.asarray(q), idx, jnp.asarray(g),
+                           nprobe=1, k=16)
+    v, i = np.asarray(vals[0]), np.asarray(ids[0])
+    live = np.isfinite(v)
+    assert 1 <= live.sum() <= 16
+    assert (i[~live] == 32).all()  # pad slots point one past the gallery
+    # the live head is ascending and exact
+    _, ev, _ = retrieve(jnp.asarray(q), jnp.asarray(g),
+                        jnp.zeros(1, jnp.int32), k=int(live.sum()))
+    np.testing.assert_allclose(v[live][: live.sum()],
+                               np.asarray(ev[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_query_chunking_matches_single_chunk():
+    rng = np.random.default_rng(5)
+    g = rng.standard_normal((128, 16)).astype(np.float32)
+    q = rng.standard_normal((9, 16)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 6, iters=5, seed=0)
+    v1, i1 = ivf_search(jnp.asarray(q), idx, jnp.asarray(g), nprobe=3, k=5)
+    # row budget forcing one query per chunk
+    v2, i2 = ivf_search(jnp.asarray(q), idx, jnp.asarray(g), nprobe=3, k=5,
+                        row_budget_bytes=1)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_bf16_resident_gallery_rows_cast_after_gather():
+    rng = np.random.default_rng(6)
+    g = rng.standard_normal((64, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 4, iters=5, seed=0)
+    v32, i32 = ivf_search(jnp.asarray(q), idx, jnp.asarray(g),
+                          nprobe=4, k=5)
+    v16, i16 = ivf_search(jnp.asarray(q), idx,
+                          jnp.asarray(g).astype(jnp.bfloat16),
+                          nprobe=4, k=5)
+    # bf16 rounding perturbs values ~1e-2 relative; candidate sets stay put
+    assert topk_overlap(i16, i32) >= 0.8
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_build_validation():
+    g = jnp.zeros((4, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        build_ivf(g, 5)  # more clusters than rows
+    with pytest.raises(ValueError):
+        build_ivf(jnp.zeros((0, 8)), 1)
+    with pytest.raises(ValueError):
+        build_ivf(g, 2, metric="dot")
+    idx = build_ivf(g + jnp.arange(4)[:, None], 2, iters=2)
+    with pytest.raises(ValueError):
+        ivf_search(jnp.zeros((1, 8)), idx, g, nprobe=0)
+
+
+def test_empty_query_batch():
+    g = jnp.asarray(np.random.default_rng(7).standard_normal((32, 8)),
+                    jnp.float32)
+    idx = build_ivf(g, 4, iters=3)
+    vals, ids = ivf_search(jnp.zeros((0, 8)), idx, g, nprobe=2, k=5)
+    assert vals.shape == (0, 5) and ids.shape == (0, 5)

@@ -743,3 +743,61 @@ def test_engine_quantized_bf16_rerank(tiny_engine):
         RetrievalEngine(eng._forward, gal, eng.image_paths,
                         image_size=eng.image_size,
                         rerank_dtype="bfloat16")
+
+
+def test_engine_ivf_route(tiny_engine):
+    """ivf_nlist= serves through the clustered probe (ops/ivf.py): with
+    nprobe == nlist results match the exact engine; self-retrieval stays
+    exact at nprobe=1 on this tiny gallery; invalid compositions raise."""
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    gal = np.asarray(eng.gallery)
+    full = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8,
+        ivf_nlist=4, ivf_nprobe=4)
+    assert full._ivf is not None and not full.use_fused
+    assert full._ivf.stats()["nlist"] == 4
+    v0, i0 = eng.search_arrays(imgs[[2, 13, 7]])
+    v1, i1 = full.search_arrays(imgs[[2, 13, 7]])
+    np.testing.assert_array_equal(i0, i1)
+    # near-zero self-match distances: the engine's (B, N) program uses the
+    # expanded matmul form whose f32 cancellation floor is ~1e-2 absolute;
+    # the IVF scorer's row-wise form is exact there (2.8e-5 = the eps
+    # floor) — so compare with the cancellation-floor tolerance
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=2e-2)
+
+    # nprobe=1: the self-match lives in the probed (nearest) cluster, so
+    # top-1 self-retrieval survives the approximation
+    one = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8,
+        ivf_nlist=4, ivf_nprobe=1)
+    out = one.search(_png_bytes(imgs[9]))
+    assert out["paths"][0] == "gallery/img_9.png"
+    # fewer candidates than k is legal: +inf pad rows are filtered
+    assert 1 <= len(out["paths"]) <= 5
+
+    with pytest.raises(ValueError, match="immutable"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, capacity=32,
+                        ivf_nlist=4)
+    with pytest.raises(ValueError, match="compose"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, quantize=True,
+                        ivf_nlist=4)
+
+
+def test_engine_ivf_auto_nlist(tiny_engine):
+    """ivf_nlist=0 auto-sizes (~2*sqrt(N)) and still serves correctly."""
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    auto = RetrievalEngine(
+        eng._forward, np.asarray(eng.gallery), eng.image_paths,
+        metric="euclidean", image_size=eng.image_size, k_max=5,
+        max_batch=8, ivf_nlist=0, ivf_nprobe=8)
+    assert auto._ivf.nlist == 8  # 2*sqrt(16)
+    out = auto.search(_png_bytes(imgs[4]))
+    assert out["paths"][0] == "gallery/img_4.png"
