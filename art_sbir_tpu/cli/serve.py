@@ -270,7 +270,10 @@ def main(argv=None):
                         "probe --ivf_nprobe clusters per query instead of "
                         "a full scan (0 = auto ~2*sqrt(N) clusters); "
                         "approximate — recall set by nprobe, scored "
-                        "distances exact; immutable single-device only")
+                        "distances exact; composes with --capacity "
+                        "(online IVF: adds assign to the nearest "
+                        "centroid, removals tombstone), single-device "
+                        "only")
     p.add_argument("--ivf_nprobe", type=int, default=8,
                    help="clusters probed per query in --ivf_nlist mode")
     p.add_argument("--max_batch", type=int, default=32)

@@ -47,7 +47,7 @@ regression-locked in ``tests/test_ops_ivf.py``.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -274,6 +274,8 @@ def _ivf_core(
     centroids: jax.Array,
     row_ids: jax.Array,
     gallery: jax.Array,
+    mask: Optional[jax.Array] = None,
+    spill: Optional[jax.Array] = None,
     *,
     metric: str,
     k: int,
@@ -290,6 +292,16 @@ def _ivf_core(
                            preferred_element_type=jnp.float32))
     _, probe = jax.lax.top_k(-cdist, nprobe)  # (Q, P)
     ids = jnp.take(row_ids, probe, axis=0).reshape(qf.shape[0], -1)
+    if spill is not None and spill.shape[0]:
+        # overflow rows (cluster was full when added) are ALWAYS scanned
+        ids = jnp.concatenate(
+            [ids, jnp.broadcast_to(spill[None], (qf.shape[0],
+                                                 spill.shape[0]))], axis=1)
+    if mask is not None:
+        # tombstoned (removed) rows rank as padding — the live mask is
+        # the source of truth, the cluster table is only routing
+        live = jnp.take(mask, jnp.minimum(ids, n - 1))
+        ids = jnp.where(live, ids, n)
     ids = jnp.sort(ids, axis=1)  # pads (=n) last; ties break by gallery idx
     rows = jnp.take(gallery, jnp.minimum(ids, n - 1),
                     axis=0).astype(jnp.float32)  # (Q, R, D)
@@ -311,6 +323,8 @@ def ivf_search(
     nprobe: int = 8,
     k: int = 10,
     row_budget_bytes: int = 1 << 30,
+    mask: Optional[jax.Array] = None,
+    spill: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate top-k over the probed clusters -> (values, indices).
 
@@ -321,12 +335,18 @@ def ivf_search(
     ``row_budget_bytes``. Slots past the valid candidates rank at
     ``+inf`` with index ``N`` — callers that can see them (k > candidates
     in the probed clusters) must filter non-finite values, as the serving
-    engine does."""
+    engine does.
+
+    ``mask``: optional (N,) bool of live rows — gathered candidates whose
+    mask is False rank as padding (online-index tombstones). ``spill``:
+    optional (S,) int32 of row ids scanned unconditionally (pad = N) —
+    :class:`OnlineIVF` overflow rows."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     nprobe = min(nprobe, index.nlist)
     n = int(gallery.shape[0])
-    r = nprobe * index.pad_width
+    r = nprobe * index.pad_width + (
+        int(spill.shape[0]) if spill is not None else 0)
     k = min(k, r, n)
     d = int(gallery.shape[1])
     qc = max(1, int(row_budget_bytes // max(r * d * 4, 1)))
@@ -335,10 +355,223 @@ def ivf_search(
         return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32))
     outs = [
         _ivf_core(queries[i: i + qc], index.centroids, index.row_ids,
-                  gallery, metric=index.metric, k=k, nprobe=nprobe)
+                  gallery, mask, spill, metric=index.metric, k=k,
+                  nprobe=nprobe)
         for i in range(0, nq, qc)
     ]
     if len(outs) == 1:
         return outs[0]
     return (jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]))
+
+
+@jax.jit
+def _set_table(tab: jax.Array, c: jax.Array, j: jax.Array,
+               v: jax.Array) -> jax.Array:
+    return tab.at[c, j].set(v)
+
+
+@jax.jit
+def _set_spill(arr: jax.Array, j: jax.Array, v: jax.Array) -> jax.Array:
+    return arr.at[j].set(v)
+
+
+class OnlineIVF:
+    """Mutable IVF over a fixed-capacity gallery buffer (the serving
+    engine's ``capacity=`` mode).
+
+    The TPU way, like the engine's online index: device arrays keep
+    STATIC shapes (a (C, Cpad) cluster table + an (S,) spill buffer,
+    pad sentinel = buffer capacity), slot bookkeeping lives on host, and
+    every mutation is one tiny jitted ``.at[].set`` — adds/removes never
+    recompile the search. Semantics:
+
+    * **add**: the row is assigned to its nearest centroid (exact tiny
+      matmul; spherical for cosine) and written into a free slot of that
+      cluster's row — freed (removed) slots are reused first. A FULL
+      cluster overflows into the spill buffer, which every search scans
+      unconditionally, so overflow costs bandwidth, never recall.
+    * **remove**: the slot is reset to the pad sentinel and recycled.
+      The engine's live-row ``mask`` stays the correctness source of
+      truth (searches in flight may hold the old table).
+    * **repack**: when the spill buffer itself fills, the table is
+      rebuilt host-side from the bookkeeping with a wider ``Cpad``
+      (``slack`` headroom) — O(live rows) host work + one table upload;
+      the next search recompiles once for the new width. Centroids are
+      NEVER retrained online; rebuild the index offline when the data
+      distribution drifts (``stats()['repacks']`` is the signal).
+    """
+
+    def __init__(self, index: IVFIndex, built_over: int, capacity: int,
+                 *, spill_capacity: int = 256, slack: float = 1.25):
+        if built_over > capacity:
+            raise ValueError(f"built_over {built_over} > capacity "
+                             f"{capacity}")
+        self.metric = index.metric
+        self.centroids = index.centroids
+        self.capacity = int(capacity)  # pad sentinel for every device id
+        self.slack = float(slack)
+        c, p = index.row_ids.shape
+        table = np.asarray(index.row_ids).copy()
+        table[table == built_over] = self.capacity  # remap build-time pads
+        self.repacks = 0
+        # host bookkeeping: row -> slot, per-cluster free slots, fill
+        self._loc: dict = {}
+        self._free_t: list = [[] for _ in range(c)]
+        self._fill = np.zeros(c, np.int64)
+        for ci in range(c):
+            for ji in range(p):
+                rid = int(table[ci, ji])
+                if rid == self.capacity:
+                    self._free_t[ci].append(ji)
+                else:
+                    self._loc[rid] = ("t", ci, ji)
+                    self._fill[ci] += 1
+        self._free_t = [list(reversed(f)) for f in self._free_t]  # low first
+        spill_capacity = max(8, int(spill_capacity))
+        self._free_s = list(range(spill_capacity))[::-1]
+        self._spill_np = np.full(spill_capacity, self.capacity, np.int32)
+        self.row_ids = jnp.asarray(table)
+        self.spill = jnp.asarray(self._spill_np)
+
+        @jax.jit
+        def assign(rows: jax.Array) -> jax.Array:
+            rf = jnp.asarray(rows, jnp.float32)
+            rx = _l2n(rf) if self.metric == "cosine" else rf
+            d2 = pairwise_sq_l2(rx, self.centroids, precision="default")
+            return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+        self._assign_rows = assign
+
+    @property
+    def nlist(self) -> int:
+        return int(self.centroids.shape[0])
+
+    # ------------------------------------------------------------- index ops
+
+    def add(self, row_ids: Sequence[int], rows: jax.Array) -> None:
+        """Insert buffer rows ``row_ids`` with embeddings ``rows`` (B, D).
+
+        ``rows`` may be PADDED past ``len(row_ids)`` (the engine passes
+        its bucketed batch so the assignment matmul compiles once per
+        bucket); trailing rows are ignored."""
+        if len(row_ids) > int(rows.shape[0]):
+            raise ValueError(f"{len(row_ids)} ids vs {rows.shape[0]} rows")
+        if not row_ids:
+            return
+        labels = np.asarray(self._assign_rows(rows))[: len(row_ids)]
+        for rid, ci in zip(row_ids, labels):
+            rid, ci = int(rid), int(ci)
+            if rid in self._loc:
+                raise ValueError(f"row {rid} already indexed")
+            if not 0 <= rid < self.capacity:
+                raise ValueError(f"row id {rid} outside [0, {self.capacity})")
+            if self._free_t[ci]:
+                j = self._free_t[ci].pop()
+                self.row_ids = _set_table(self.row_ids, jnp.int32(ci),
+                                          jnp.int32(j), jnp.int32(rid))
+                self._loc[rid] = ("t", ci, j)
+                self._fill[ci] += 1
+            else:
+                if not self._free_s:
+                    self._repack()
+                    # post-repack the cluster has >= slack headroom
+                    j = self._free_t[ci].pop()
+                    self.row_ids = _set_table(self.row_ids, jnp.int32(ci),
+                                              jnp.int32(j), jnp.int32(rid))
+                    self._loc[rid] = ("t", ci, j)
+                    self._fill[ci] += 1
+                    continue
+                j = self._free_s.pop()
+                self.spill = _set_spill(self.spill, jnp.int32(j),
+                                        jnp.int32(rid))
+                self._spill_np[j] = rid
+                self._loc[rid] = ("s", j, ci)
+                self._fill[ci] += 1
+
+    def remove(self, row_id: int) -> None:
+        """Free the slot serving buffer row ``row_id``."""
+        where = self._loc.pop(int(row_id), None)
+        if where is None:
+            raise KeyError(f"row {row_id} not in the IVF index")
+        pad = jnp.int32(self.capacity)
+        if where[0] == "t":
+            _, ci, j = where
+            self.row_ids = _set_table(self.row_ids, jnp.int32(ci),
+                                      jnp.int32(j), pad)
+            self._free_t[ci].append(j)
+        else:
+            _, j, ci = where
+            self.spill = _set_spill(self.spill, jnp.int32(j), pad)
+            self._spill_np[j] = self.capacity
+            self._free_s.append(j)
+        self._fill[ci] -= 1
+
+    def _repack(self) -> None:
+        """Rebuild the table with ``slack`` headroom; drain the spill."""
+        c = int(self.centroids.shape[0])
+        max_fill = int(self._fill.max()) if c else 0
+        pad = max(max_fill + 8, int(self.slack * max_fill))
+        pad = max(8, -(-pad // 8) * 8)
+        table = np.full((c, pad), self.capacity, np.int32)
+        nxt = np.zeros(c, np.int64)
+        loc = {}
+        for rid, where in sorted(self._loc.items()):  # ids ascend per row
+            ci = where[1] if where[0] == "t" else where[2]
+            j = int(nxt[ci])
+            table[ci, j] = rid
+            loc[rid] = ("t", ci, j)
+            nxt[ci] += 1
+        self._loc = loc
+        self._free_t = [list(range(int(nxt[ci]), pad))[::-1]
+                        for ci in range(c)]
+        self._spill_np[:] = self.capacity
+        self._free_s = list(range(len(self._spill_np)))[::-1]
+        self.row_ids = jnp.asarray(table)
+        self.spill = jnp.asarray(self._spill_np)
+        self.repacks += 1
+
+    # ------------------------------------------------------------- queries
+
+    def search(self, queries: jax.Array, gallery: jax.Array, *,
+               nprobe: int = 8, k: int = 10,
+               mask: Optional[jax.Array] = None,
+               ) -> Tuple[jax.Array, jax.Array]:
+        return ivf_search(queries, self.as_index(), gallery, nprobe=nprobe,
+                          k=k, mask=mask, spill=self.spill)
+
+    def as_index(self) -> IVFIndex:
+        return IVFIndex(self.centroids, self.row_ids, self._fill.copy(),
+                        self.metric)
+
+    def stats(self) -> dict:
+        out = self.as_index().stats()
+        out.update(spill_used=int((self._spill_np
+                                   != self.capacity).sum()),
+                   spill_capacity=len(self._spill_np),
+                   repacks=self.repacks, live_rows=len(self._loc))
+        return out
+
+
+def build_ivf_online(
+    gallery_buffer: jax.Array,
+    n_valid: int,
+    n_clusters: Optional[int] = None,
+    *,
+    metric: str = "euclidean",
+    spill_capacity: int = 256,
+    slack: float = 1.25,
+    **kw,
+) -> OnlineIVF:
+    """Cluster the first ``n_valid`` (live) rows of a fixed-capacity
+    gallery buffer and wrap the result for online mutation. The initial
+    live rows must occupy slots ``0..n_valid-1`` (the engine's layout)."""
+    if n_valid < 1:
+        raise ValueError("online IVF needs >= 1 initial live row to "
+                         "cluster (capacity-only cold starts should "
+                         "add rows first, then build)")
+    capacity = int(gallery_buffer.shape[0])
+    idx = build_ivf(gallery_buffer[:n_valid], n_clusters, metric=metric,
+                    **kw)
+    return OnlineIVF(idx, n_valid, capacity,
+                     spill_capacity=spill_capacity, slack=slack)

@@ -153,8 +153,12 @@ class RetrievalEngine:
         scored distances stay exact), aimed at the serving regime: a
         full scan reads the whole N*D gallery per coalesced dispatch,
         the probe gathers ~B*nprobe*Cpad rows — independent of N.
-        Immutable single-device indexes only (no ``capacity``/``mesh``/
-        ``quantize`` in v1)."""
+        Composes with ``capacity`` (online IVF: adds are assigned to
+        their nearest centroid, removals tombstone through the live
+        mask, cluster overflow spills to an always-scanned buffer —
+        :class:`art_sbir_tpu.ops.ivf.OnlineIVF`; the initial gallery
+        must be non-empty to cluster). Single-device only (no ``mesh``/
+        ``quantize``)."""
         n0 = int(gallery_features.shape[0])
         if n0 == 0 and capacity is None:
             raise ValueError("cannot serve an empty gallery "
@@ -225,17 +229,25 @@ class RetrievalEngine:
         self._ivf = None
         self._ivf_nprobe = int(ivf_nprobe)
         if ivf_nlist is not None:
-            if capacity is not None:
-                raise ValueError("IVF serves immutable indexes only (the "
-                                 "cluster table does not track online "
-                                 "adds); drop capacity=")
             if mesh is not None or quantize:
                 raise ValueError("ivf_nlist does not compose with mesh=/"
                                  "quantize= yet — pick one scan strategy")
-            from art_sbir_tpu.ops.ivf import build_ivf
+            if capacity is not None:
+                # ONLINE IVF: cluster the initial live rows; adds assign
+                # to the nearest centroid, removals tombstone via the
+                # live mask, overflow spills (ops/ivf.py::OnlineIVF)
+                from art_sbir_tpu.ops.ivf import build_ivf_online
 
-            self._ivf = build_ivf(
-                self.gallery, int(ivf_nlist) or None, metric=metric)
+                if n0 < 1:
+                    raise ValueError("online IVF needs a non-empty "
+                                     "initial gallery to cluster")
+                self._ivf = build_ivf_online(
+                    self.gallery, n0, int(ivf_nlist) or None, metric=metric)
+            else:
+                from art_sbir_tpu.ops.ivf import build_ivf
+
+                self._ivf = build_ivf(
+                    self.gallery, int(ivf_nlist) or None, metric=metric)
             self.use_fused = False  # the probe replaces both scan routes
 
         self._qg = None
@@ -332,14 +344,24 @@ class RetrievalEngine:
         if bucket != b:
             pad = np.zeros((bucket - b, *images_u8.shape[1:]), np.uint8)
             images_u8 = np.concatenate([images_u8, pad])
-        with self._lock:  # consistent (gallery, mask) snapshot
+        with self._lock:  # consistent (gallery, mask, ivf) snapshot
             gallery, mask = self.gallery, self._mask
-        if self._ivf is not None:
+            ivf = self._ivf
+            if ivf is not None and self.capacity is not None:
+                ivf, spill = ivf.as_index(), ivf.spill  # online snapshot
+        if ivf is not None:
             from art_sbir_tpu.ops.ivf import ivf_search
 
             emb = self._embed(jnp.asarray(images_u8))
-            vals, idx = ivf_search(emb, self._ivf, gallery,
-                                   nprobe=self._ivf_nprobe, k=self.k_max)
+            if self.capacity is not None:
+                # the live mask gates tombstones + the add publish race
+                vals, idx = ivf_search(emb, ivf, gallery,
+                                       nprobe=self._ivf_nprobe,
+                                       k=self.k_max, mask=mask, spill=spill)
+            else:
+                vals, idx = ivf_search(emb, ivf, gallery,
+                                       nprobe=self._ivf_nprobe,
+                                       k=self.k_max)
         elif self._qg is not None:
             from art_sbir_tpu.ops.quant import (retrieve_quantized,
                                                 retrieve_quantized_fused,
@@ -400,7 +422,8 @@ class RetrievalEngine:
         if bucket != b:
             imgs = np.concatenate(
                 [imgs, np.zeros((bucket - b, *imgs.shape[1:]), np.uint8)])
-        emb = self._embed(jnp.asarray(imgs))[:b]
+        emb_padded = self._embed(jnp.asarray(imgs))
+        emb = emb_padded[:b]
         with self._lock:
             if self.n_valid + b > self.capacity:
                 raise ValueError(
@@ -420,6 +443,10 @@ class RetrievalEngine:
                     self.image_paths[slot] = items[i][1]
                 else:
                     self.image_paths.append(items[i][1])
+            if self._ivf is not None:
+                # cluster routing for the new rows (padded batch: the
+                # assignment matmul compiles once per bucket)
+                self._ivf.add(slots, emb_padded)
             self.gallery = gallery
             self._mask = mask
             self.n_valid += b  # publish last
@@ -442,6 +469,8 @@ class RetrievalEngine:
                 self.image_paths[slot] = None  # tombstone
                 self._mask = self._set_mask(self._mask, jnp.int32(slot),
                                             jnp.asarray(False))
+                if self._ivf is not None:
+                    self._ivf.remove(slot)  # recycle the cluster slot
                 self._free.append(slot)
                 freed.append(slot)
             self.n_valid -= len(freed)

@@ -11,7 +11,7 @@ that trade on the chip, end to end the way the engine sees it
   int8 streamed scan + exact rerank (the >=500k route), and
   ivf_search at nprobe in {4, 8, 16};
 * B in {1, 4, 8, 32} queries per dispatch;
-* recall\@10 vs the exact path for every IVF config (perturbed-row
+* recall@10 vs the exact path for every IVF config (perturbed-row
   queries AND adversarially flat queries), plus cluster-balance stats
   and the on-chip build time.
 

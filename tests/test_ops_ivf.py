@@ -172,3 +172,151 @@ def test_empty_query_batch():
     idx = build_ivf(g, 4, iters=3)
     vals, ids = ivf_search(jnp.zeros((0, 8)), idx, g, nprobe=2, k=5)
     assert vals.shape == (0, 5) and ids.shape == (0, 5)
+
+
+# --------------------------------------------------------------- online IVF
+
+
+def _exact_masked(q, buf, mask, k):
+    """Oracle: the engine's maskable full-scan program."""
+    from art_sbir_tpu.ops.distance import pairwise_distance, top_k
+
+    d = pairwise_distance(jnp.asarray(q), jnp.asarray(buf))
+    return top_k(d, k, valid=jnp.asarray(mask))
+
+
+def test_online_ivf_matches_masked_exact_through_churn():
+    """Full-probe online IVF == the maskable full scan across a whole
+    add/remove/re-add churn sequence (indices exactly, values to the
+    expanded-form cancellation floor)."""
+    from art_sbir_tpu.ops.ivf import build_ivf_online
+
+    rng = np.random.default_rng(10)
+    d, cap, n0 = 16, 64, 24
+    buf = np.zeros((cap, d), np.float32)
+    buf[:n0] = rng.standard_normal((n0, d))
+    oiv = build_ivf_online(jnp.asarray(buf), n0, 4, iters=5)
+    mask = np.zeros(cap, bool)
+    mask[:n0] = True
+    q = rng.standard_normal((8, d)).astype(np.float32)
+
+    def check():
+        v, i = oiv.search(jnp.asarray(q), jnp.asarray(buf),
+                          nprobe=oiv.nlist, k=6, mask=jnp.asarray(mask))
+        ev, ei = _exact_masked(q, buf, mask, 6)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ev),
+                                   rtol=1e-4, atol=1e-3)
+
+    check()
+    new = rng.standard_normal((16, d)).astype(np.float32)
+    buf[24:40], mask[24:40] = new, True
+    oiv.add(list(range(24, 40)), jnp.asarray(new))
+    check()
+    for r in (3, 30, 25):  # initial + added rows
+        mask[r] = False
+        oiv.remove(r)
+    check()
+    buf[3] = rng.standard_normal(d).astype(np.float32)  # freed-slot reuse
+    mask[3] = True
+    oiv.add([3], jnp.asarray(buf[3][None]))
+    check()
+    st = oiv.stats()
+    assert st["live_rows"] == n0 + 16 - 3 + 1
+    assert st["repacks"] == 0
+
+
+def test_online_ivf_spill_then_repack():
+    """Cluster overflow spills (always scanned — recall is never lost);
+    a full spill triggers one table repack with wider padding."""
+    from art_sbir_tpu.ops.ivf import build_ivf_online
+
+    rng = np.random.default_rng(11)
+    d, cap = 8, 128
+    c0 = np.zeros(d, np.float32)
+    c1 = np.full(d, 10.0, np.float32)
+    buf = np.zeros((cap, d), np.float32)
+    buf[:8] = c0 + 0.1 * rng.standard_normal((8, d))
+    buf[8:16] = c1 + 0.1 * rng.standard_normal((8, d))
+    mask = np.zeros(cap, bool)
+    mask[:16] = True
+    oiv = build_ivf_online(jnp.asarray(buf), 16, 2, iters=8,
+                           spill_capacity=8)
+    assert oiv.stats()["pad_width"] == 8  # both clusters born full
+
+    q = np.stack([c0 + 0.05, c1 - 0.05]).astype(np.float32)
+
+    def check():
+        v, i = oiv.search(jnp.asarray(q), jnp.asarray(buf), nprobe=2,
+                          k=10, mask=jnp.asarray(mask))
+        ev, ei = _exact_masked(q, buf, mask, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+
+    new = (c0 + 0.1 * rng.standard_normal((8, d))).astype(np.float32)
+    buf[16:24], mask[16:24] = new, True
+    oiv.add(list(range(16, 24)), jnp.asarray(new))  # cluster 0 overflows
+    st = oiv.stats()
+    assert st["spill_used"] == 8 and st["repacks"] == 0
+    check()
+
+    buf[24] = c0 + 0.01  # spill is full -> repack, then table insert
+    mask[24] = True
+    oiv.add([24], jnp.asarray(buf[24][None]))
+    st = oiv.stats()
+    assert st["repacks"] == 1 and st["spill_used"] == 0
+    assert st["pad_width"] > 8
+    check()
+
+    mask[17] = False  # spilled-then-repacked row removes cleanly
+    oiv.remove(17)
+    check()
+
+
+def test_online_ivf_mask_gates_unpublished_rows():
+    """A row present in the cluster table but not in the live mask must
+    not surface — the mask is the correctness source of truth (covers
+    the engine's add-publish race window)."""
+    from art_sbir_tpu.ops.ivf import build_ivf_online
+
+    rng = np.random.default_rng(12)
+    d, cap, n0 = 8, 32, 8
+    buf = np.zeros((cap, d), np.float32)
+    buf[:n0] = rng.standard_normal((n0, d))
+    oiv = build_ivf_online(jnp.asarray(buf), n0, 2, iters=5)
+    mask = np.zeros(cap, bool)
+    mask[:n0] = True
+    buf[n0] = buf[0]  # exact duplicate of row 0, indexed but NOT live
+    oiv.add([n0], jnp.asarray(buf[n0][None]))
+    _, ids = oiv.search(jnp.asarray(buf[0][None]), jnp.asarray(buf),
+                        nprobe=2, k=5, mask=jnp.asarray(mask))
+    assert n0 not in np.asarray(ids)
+    # published: now it ties with row 0 and sorts after it by index
+    mask[n0] = True
+    _, ids = oiv.search(jnp.asarray(buf[0][None]), jnp.asarray(buf),
+                        nprobe=2, k=5, mask=jnp.asarray(mask))
+    assert list(np.asarray(ids)[0, :2]) == [0, n0]
+
+
+def test_online_ivf_padded_add_and_validation():
+    from art_sbir_tpu.ops.ivf import build_ivf_online
+
+    rng = np.random.default_rng(13)
+    d, cap, n0 = 8, 16, 4
+    buf = np.zeros((cap, d), np.float32)
+    buf[:n0] = rng.standard_normal((n0, d))
+    oiv = build_ivf_online(jnp.asarray(buf), n0, 2, iters=3)
+    # bucketed (padded) embedding batch: trailing rows ignored
+    rows = rng.standard_normal((4, d)).astype(np.float32)
+    oiv.add([n0], jnp.asarray(rows))
+    assert oiv.stats()["live_rows"] == n0 + 1
+    with pytest.raises(ValueError, match="already indexed"):
+        oiv.add([n0], jnp.asarray(rows))
+    with pytest.raises(ValueError, match="outside"):
+        oiv.add([cap], jnp.asarray(rows))
+    with pytest.raises(ValueError, match="ids vs"):
+        oiv.add([1, 2, 3, 4, 5], jnp.asarray(rows))
+    with pytest.raises(KeyError):
+        oiv.remove(cap - 1)
+    with pytest.raises(ValueError, match=">= 1 initial"):
+        build_ivf_online(jnp.asarray(buf), 0, 2)
+    oiv.add([], jnp.zeros((0, d)))  # no-op

@@ -273,7 +273,7 @@ def test_engine_rejects_empty_gallery():
 
 # ------------------------------------------------------- online index
 
-def _mk_capacity_engine(imgs, n0, capacity):
+def _mk_capacity_engine(imgs, n0, capacity, **kw):
     import jax.numpy as jnp
 
     from art_sbir_tpu.retrieval.server import RetrievalEngine
@@ -290,7 +290,7 @@ def _mk_capacity_engine(imgs, n0, capacity):
     return RetrievalEngine(
         forward, feats, [f"gallery/img_{i}.png" for i in range(n0)],
         metric="euclidean", image_size=s, k_max=10,
-        max_batch=8, capacity=capacity), forward
+        max_batch=8, capacity=capacity, **kw), forward
 
 
 def test_engine_online_add(tiny_engine):
@@ -779,8 +779,8 @@ def test_engine_ivf_route(tiny_engine):
     # fewer candidates than k is legal: +inf pad rows are filtered
     assert 1 <= len(out["paths"]) <= 5
 
-    with pytest.raises(ValueError, match="immutable"):
-        RetrievalEngine(eng._forward, gal, eng.image_paths,
+    with pytest.raises(ValueError, match="non-empty"):
+        RetrievalEngine(eng._forward, gal[:0], [],
                         image_size=eng.image_size, capacity=32,
                         ivf_nlist=4)
     with pytest.raises(ValueError, match="compose"):
@@ -801,3 +801,40 @@ def test_engine_ivf_auto_nlist(tiny_engine):
     assert auto._ivf.nlist == 8  # 2*sqrt(16)
     out = auto.search(_png_bytes(imgs[4]))
     assert out["paths"][0] == "gallery/img_4.png"
+
+
+def test_engine_online_ivf_churn(tiny_engine):
+    """capacity + ivf_nlist (ONLINE IVF): stays result-identical to the
+    full-scan online engine through adds, removals, and freed-slot reuse
+    (full probe, so any divergence is a routing/bookkeeping bug)."""
+    from art_sbir_tpu.ops.ivf import OnlineIVF
+
+    _, imgs = tiny_engine
+    ref, _ = _mk_capacity_engine(imgs, n0=6, capacity=16)
+    ivf, _ = _mk_capacity_engine(imgs, n0=6, capacity=16,
+                                 ivf_nlist=3, ivf_nprobe=3)
+    assert isinstance(ivf._ivf, OnlineIVF) and not ivf.use_fused
+
+    def check(queries):
+        for i in queries:
+            a = ref.search(_png_bytes(imgs[i]))
+            b = ivf.search(_png_bytes(imgs[i]))
+            assert a["paths"] == b["paths"]
+            np.testing.assert_allclose(a["distances"], b["distances"],
+                                       rtol=1e-4, atol=2e-2)
+
+    check((0, 5))
+    for eng in (ref, ivf):
+        slots = eng.add_images([(_png_bytes(imgs[i]), f"added/{i}.png")
+                                for i in (8, 9, 10)])
+        assert slots == [6, 7, 8]
+    check((1, 8, 10))
+    for eng in (ref, ivf):
+        eng.remove(["gallery/img_2.png", "added/9.png"])
+    check((2, 9, 4))
+    for eng in (ref, ivf):  # freed slots reused, cluster slots recycled
+        eng.add_images([(_png_bytes(imgs[12]), "added/12.png")])
+    check((12, 0, 9))
+    st = ivf._ivf.stats()
+    assert st["live_rows"] == 6 + 3 - 2 + 1 == ivf.n_valid
+    assert st["spill_used"] == 0
