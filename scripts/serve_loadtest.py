@@ -64,8 +64,8 @@ def main() -> None:
                         "the search clients hammer it")
     p.add_argument("--ivf_nlist", type=int, default=None,
                    help="serve through an IVF clustered index (ops/ivf.py; "
-                        "0 = auto nlist); immutable — excludes "
-                        "--churn/--quantize")
+                        "0 = auto nlist); composes with --churn (online "
+                        "IVF) but not --quantize")
     p.add_argument("--ivf_nprobe", type=int, default=8)
     args = p.parse_args()
 
