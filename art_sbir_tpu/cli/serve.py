@@ -120,7 +120,9 @@ def build_engine(args):
                     rerank_factor=getattr(args, "rerank_factor", 4),
                     rerank_dtype=getattr(args, "rerank_dtype", "float32"),
                     ivf_nlist=getattr(args, "ivf_nlist", None),
-                    ivf_nprobe=getattr(args, "ivf_nprobe", 8))
+                    ivf_nprobe=getattr(args, "ivf_nprobe", 8),
+                    pq_m=getattr(args, "pq_m", None),
+                    pq_rerank=getattr(args, "pq_rerank", "bfloat16"))
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -175,6 +177,15 @@ def make_handler(engine, batcher):
                     **({"ivf": {**engine._ivf.stats(),
                                 "nprobe": engine._ivf_nprobe}}
                        if engine._ivf is not None else {}),
+                    **({"pq": {
+                        "m": engine._pq[0].m,
+                        "k_codes": engine._pq[0].k_codes,
+                        "bytes_per_row": engine._pq[0].m,
+                        "rows_resident": (
+                            str(engine.gallery.dtype)
+                            if engine.gallery is not None else "dropped"),
+                        "rerank_factor": engine._rerank_factor}}
+                       if getattr(engine, "_pq", None) is not None else {}),
                 })
             elif self.path == "/stats":
                 self._json(200, batcher.stats.snapshot())
@@ -276,6 +287,16 @@ def main(argv=None):
                         "only")
     p.add_argument("--ivf_nprobe", type=int, default=8,
                    help="clusters probed per query in --ivf_nlist mode")
+    p.add_argument("--pq_m", type=int, default=None,
+                   help="IVF-PQ (ops/pq.py; requires --ivf_nlist): "
+                        "product-quantize the gallery to this many uint8 "
+                        "codes/row (64 = 64x smaller than f32) and score "
+                        "probed candidates via the gather-free ADC scan")
+    p.add_argument("--pq_rerank", default="bfloat16",
+                   choices=["none", "float32", "bfloat16"],
+                   help="residency of the exact rows reranking the top "
+                        "rerank_factor*k ADC candidates; 'none' DROPS the "
+                        "rows (extreme capacity, approximate values)")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

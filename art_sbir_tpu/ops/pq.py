@@ -1,0 +1,336 @@
+"""Product quantization (IVF-PQ) — approximate serving at extreme capacity.
+
+A beyond-reference scale feature, one tier past `ops/quant.py`'s int8 mode
+(the reference's retrieval is a per-query f32 full scan,
+`/root/reference/inference.py:43-56`). PQ splits each 1024-d embedding
+into ``M`` subspaces and stores one uint8 centroid code per subspace:
+**M bytes per row** (default M=64 -> 64x smaller than f32, 16x smaller
+than int8), so a serving index over millions of rows is resident in
+hundreds of MB of HBM with the full-precision gallery dropped entirely.
+
+The price is an approximation tier beyond IVF's: IVF only *misses*
+candidates (scored distances stay exact); PQ also *scores* candidates
+approximately (distance to the reconstructed row). The standard repair —
+an exact rerank over the top ``rerank_factor * k`` PQ candidates — needs
+resident exact rows, which forfeits most of the capacity win; this module
+supports both modes and the serving engine defaults to pure-PQ only when
+told to drop the rows.
+
+TPU-native design (static shapes, no gathers on the hot scoring path):
+
+* **Train** (:func:`train_pq`): per-subspace k-means, all ``M`` subspaces
+  in ONE jitted vmapped program (k-means++ seeding + ``lax.scan`` Lloyd's
+  on a row sample) — no per-subspace dispatch loop.
+* **Encode** (:func:`encode_pq`): scan-chunked nearest-centroid argmin
+  per subspace -> (N, M) uint8.
+* **Search** (:func:`ivf_pq_search`): IVF centroid probe (tiny MXU
+  matmul) -> candidate CODE gather ((R, M) uint8 — 64 bytes/row instead
+  of 4096) -> ADC: per-query (M, 256) look-up table, scored as a
+  ``lax.scan`` over subspaces of one-hot(code) x LUT batched matmuls —
+  compare/select + MXU, no gather in the scan — -> approximate top-k
+  (ties break by gallery index), optional exact rerank when rows are
+  provided.
+
+Approximation contract: recall is set by (nprobe, M, rerank) and is
+regression-locked in ``tests/test_ops_pq.py``; measured TPU numbers live
+in PERF.md ("IVF-PQ").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from art_sbir_tpu.ops.distance import (
+    cosine_distance,
+    euclidean_distance,
+    pairwise_sq_l2,
+)
+from art_sbir_tpu.ops.ivf import IVFIndex, _kmeanspp_init, _l2n
+
+_METRICS = ("euclidean", "cosine")
+
+
+class PQCodebook(NamedTuple):
+    """Per-subspace centroids. ``metric`` is host metadata: for cosine the
+    codebook is trained on (and codes encode) L2-NORMALIZED rows, and the
+    ADC table scores dot products instead of squared L2."""
+
+    centroids: jax.Array  # (M, K, ds) f32
+    metric: str
+
+    @property
+    def m(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def k_codes(self) -> int:
+        return int(self.centroids.shape[1])
+
+    @property
+    def ds(self) -> int:
+        return int(self.centroids.shape[2])
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.ds
+
+
+def _split(rows: jax.Array, m: int) -> jax.Array:
+    """(N, D) -> (M, N, ds)."""
+    n, d = rows.shape
+    return jnp.transpose(rows.reshape(n, m, d // m), (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _train_pq_core(xs: jax.Array, key: jax.Array, *, k: int,
+                   iters: int) -> jax.Array:
+    """All-subspace k-means in one program: xs (M, Nf, ds) -> (M, k, ds)."""
+
+    def lloyd(x, cent):
+        d2 = pairwise_sq_l2(x, cent, precision="default")
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, cent.shape[0], dtype=jnp.float32)
+        sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=0)
+        return jnp.where(counts[:, None] > 0,
+                         sums / jnp.maximum(counts, 1.0)[:, None], cent)
+
+    def one(x, sub):
+        cent = _kmeanspp_init(x, sub, c=k)
+
+        def body(c, _):
+            return lloyd(x, c), None
+
+        cent, _ = jax.lax.scan(body, cent, None, length=iters)
+        return cent
+
+    return jax.vmap(one)(xs, jax.random.split(key, xs.shape[0]))
+
+
+def train_pq(
+    rows: jax.Array,
+    m: int = 64,
+    *,
+    k_codes: int = 256,
+    metric: str = "euclidean",
+    iters: int = 10,
+    seed: int = 0,
+    sample: int = 65536,
+) -> PQCodebook:
+    """Fit per-subspace codebooks on a seeded row sample."""
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
+    x = jnp.asarray(rows, jnp.float32)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if not 1 <= k_codes <= 256:
+        raise ValueError(f"k_codes must be in [1, 256] (uint8 codes), "
+                         f"got {k_codes}")
+    if n < k_codes:
+        raise ValueError(f"need >= k_codes={k_codes} rows to train, got {n}")
+    if metric == "cosine":
+        x = _l2n(x)
+    if n > sample:
+        sel = jax.random.choice(jax.random.PRNGKey(seed + 1), n, (sample,),
+                                replace=False)
+        x = jnp.take(x, sel, axis=0)
+    cent = _train_pq_core(_split(x, m), jax.random.PRNGKey(seed),
+                          k=k_codes, iters=iters)
+    return PQCodebook(cent, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _encode_core(rows: jax.Array, cent: jax.Array, *,
+                 chunk: int) -> jax.Array:
+    n, d = rows.shape
+    m = cent.shape[0]
+    xr = rows.reshape(-1, chunk, d)
+
+    def body(_, xc):
+        xs = _split(xc, m)  # (M, C, ds)
+        d2 = jax.vmap(
+            lambda a, c: pairwise_sq_l2(a, c, precision="default"))(xs, cent)
+        return None, jnp.argmin(d2, axis=2).T.astype(jnp.uint8)  # (C, M)
+
+    _, codes = jax.lax.scan(body, None, xr)
+    return codes.reshape(n, m)
+
+
+def encode_pq(rows: jax.Array, cb: PQCodebook, *,
+              chunk: int = 16384) -> jax.Array:
+    """Rows -> (N, M) uint8 codes (rows L2-normalized first for cosine)."""
+    x = jnp.asarray(rows, jnp.float32)
+    n, d = x.shape
+    if d != cb.dim:
+        raise ValueError(f"rows dim {d} != codebook dim {cb.dim}")
+    if cb.metric == "cosine":
+        x = _l2n(x)
+    chunk = min(chunk, max(n, 1))
+    rem = (-n) % chunk
+    if rem:
+        x = jnp.concatenate([x, jnp.zeros((rem, d), x.dtype)])
+    return _encode_core(x, cb.centroids, chunk=chunk)[:n]
+
+
+def pq_decode(codes: jax.Array, cb: PQCodebook) -> jax.Array:
+    """Codes -> reconstructed rows (tests/diagnostics; one gather per
+    subspace — NOT the serving path)."""
+    parts = jax.vmap(lambda c, tab: jnp.take(tab, c.astype(jnp.int32),
+                                             axis=0),
+                     in_axes=(1, 0))(codes, cb.centroids)  # (M, N, ds)
+    return jnp.transpose(parts, (1, 0, 2)).reshape(codes.shape[0], cb.dim)
+
+
+def _adc_lut(q: jax.Array, cb: PQCodebook) -> jax.Array:
+    """(Q, D) -> (Q, M, K) ADC table. Euclidean: ||q_m - c_mk||^2 (sums to
+    the exact squared L2 to the reconstruction). Cosine: -(q_m . c_mk)
+    on normalized queries (sums to -cos to the reconstruction; the +1
+    shift is rank-irrelevant and added back in the reported values)."""
+    qs = _split(q, cb.m)  # (M, Q, ds)
+    if cb.metric == "euclidean":
+        lut = jax.vmap(
+            lambda a, c: pairwise_sq_l2(a, c, precision="default"))(
+                qs, cb.centroids)
+    else:
+        lut = -jax.vmap(
+            lambda a, c: jnp.dot(a, c.T,
+                                 preferred_element_type=jnp.float32))(
+                qs, cb.centroids)
+    return jnp.transpose(lut, (1, 0, 2))  # (Q, M, K)
+
+
+def _pq_score(codes: jax.Array, lut: jax.Array) -> jax.Array:
+    """ADC sum without gathers: scan over subspaces, each step scoring
+    one-hot(code_m) against LUT[:, m] as a batched (R, K) x (K,) matmul
+    (compare/select feeds the MXU; memory stays O(Q*R*K) per step).
+
+    codes (Q, R, M) uint8, lut (Q, M, K) f32 -> (Q, R) f32."""
+    k = lut.shape[2]
+
+    def body(acc, inp):
+        code_m, lut_m = inp  # (Q, R), (Q, K)
+        # f32 select+matmul: the block is tiny (R x 256 per query) and
+        # bf16 here costs ~3e-3 relative on the ADC values for nothing
+        onehot = (code_m[..., None] == jnp.arange(k, dtype=jnp.int32)
+                  ).astype(jnp.float32)
+        step = jnp.einsum("qrk,qk->qr", onehot, lut_m,
+                          preferred_element_type=jnp.float32)
+        return acc + step, None
+
+    init = jnp.zeros(codes.shape[:2], jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, init,
+        (jnp.transpose(codes, (2, 0, 1)).astype(jnp.int32),
+         jnp.transpose(lut, (1, 0, 2))))
+    return acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "k", "nprobe", "rerank"))
+def _ivf_pq_core(
+    queries: jax.Array,
+    centroids: jax.Array,
+    row_ids: jax.Array,
+    codes: jax.Array,
+    cb_cent: jax.Array,
+    rows: Optional[jax.Array],
+    *,
+    metric: str,
+    k: int,
+    nprobe: int,
+    rerank: int,
+) -> Tuple[jax.Array, jax.Array]:
+    n = codes.shape[0]
+    qf = jnp.asarray(queries, jnp.float32)
+    qp = _l2n(qf) if metric == "cosine" else qf
+    cdist = (pairwise_sq_l2(qp, centroids, precision="default")
+             if metric == "euclidean"
+             else -jnp.dot(qp, centroids.T,
+                           preferred_element_type=jnp.float32))
+    _, probe = jax.lax.top_k(-cdist, nprobe)
+    ids = jnp.take(row_ids, probe, axis=0).reshape(qf.shape[0], -1)
+    ids = jnp.sort(ids, axis=1)  # pads (=n) last; PQ ties break by index
+    cand = jnp.take(codes, jnp.minimum(ids, n - 1), axis=0)  # (Q, R, M) u8
+    lut = _adc_lut(qp, PQCodebook(cb_cent, metric))
+    approx = _pq_score(cand, lut)
+    approx = jnp.where(ids >= n, jnp.inf, approx)
+    if rerank and rows is not None:
+        r = min(rerank * k, ids.shape[1])
+        order = jnp.argsort(approx, axis=1, stable=True)[:, :r]
+        rid = jnp.take_along_axis(ids, order, axis=1)
+        rid = jnp.sort(rid, axis=1)  # exact ties break by gallery index
+        rrows = jnp.take(rows, jnp.minimum(rid, n - 1),
+                         axis=0).astype(jnp.float32)
+        qx = qf[:, None, :]  # torch-parity row forms, like ivf.py
+        exact = (euclidean_distance(qx, rrows) if metric == "euclidean"
+                 else cosine_distance(qx, rrows))
+        exact = jnp.where(rid >= n, jnp.inf, exact)
+        fo = jnp.argsort(exact, axis=1, stable=True)[:, :k]
+        return (jnp.take_along_axis(exact, fo, axis=1),
+                jnp.take_along_axis(rid, fo, axis=1))
+    order = jnp.argsort(approx, axis=1, stable=True)[:, :k]
+    vals = jnp.take_along_axis(approx, order, axis=1)
+    if metric == "euclidean":
+        vals = jnp.sqrt(jnp.maximum(vals, 0.0))  # match distance units
+    else:
+        vals = 1.0 + vals  # -cos -> cosine distance
+    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+    return vals, jnp.take_along_axis(ids, order, axis=1)
+
+
+def ivf_pq_search(
+    queries: jax.Array,
+    index: IVFIndex,
+    codes: jax.Array,
+    cb: PQCodebook,
+    *,
+    nprobe: int = 8,
+    k: int = 10,
+    rows: Optional[jax.Array] = None,
+    rerank_factor: int = 4,
+    row_budget_bytes: int = 1 << 30,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate top-k over the probed clusters -> (values, indices).
+
+    Pure-PQ mode (``rows=None``): values are distances to the PQ
+    RECONSTRUCTION (approximate; ~the quantization error of the corpus),
+    ordering is the ADC ordering with gallery-index ties. Rerank mode
+    (``rows=`` the exact/bf16 gallery): the top ``rerank_factor * k`` ADC
+    candidates are re-scored exactly, so values are exact and the only
+    error mode is a true neighbor leaving the candidate set. Pad slots
+    rank at +inf with index N, like :func:`art_sbir_tpu.ops.ivf.ivf_search`.
+    """
+    if index.metric != cb.metric:
+        raise ValueError(f"index metric {index.metric!r} != codebook "
+                         f"metric {cb.metric!r}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if rows is not None and rerank_factor < 1:
+        raise ValueError("rerank_factor must be >= 1 when rows are given")
+    nprobe = min(nprobe, index.nlist)
+    n = int(codes.shape[0])
+    r = nprobe * index.pad_width
+    k = min(k, r, n)
+    # per-query candidate block: codes (R, M) + one-hot step (R, 256) bf16
+    per_q = r * (cb.m + 512) + cb.m * cb.k_codes * 4
+    qc = max(1, int(row_budget_bytes // max(per_q, 1)))
+    nq = queries.shape[0]
+    if nq == 0:
+        return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32))
+    rerank = rerank_factor if rows is not None else 0
+    outs = [
+        _ivf_pq_core(queries[i: i + qc], index.centroids, index.row_ids,
+                     codes, cb.centroids, rows, metric=cb.metric, k=k,
+                     nprobe=nprobe, rerank=rerank)
+        for i in range(0, nq, qc)
+    ]
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]))

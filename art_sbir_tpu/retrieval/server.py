@@ -109,6 +109,8 @@ class RetrievalEngine:
         rerank_dtype: str = "float32",
         ivf_nlist: Optional[int] = None,
         ivf_nprobe: int = 8,
+        pq_m: Optional[int] = None,
+        pq_rerank: str = "bfloat16",
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`,
         :meth:`remove`). The gallery is padded to a fixed ``capacity``
@@ -158,7 +160,21 @@ class RetrievalEngine:
         mask, cluster overflow spills to an always-scanned buffer —
         :class:`art_sbir_tpu.ops.ivf.OnlineIVF`; the initial gallery
         must be non-empty to cluster). Single-device only (no ``mesh``/
-        ``quantize``)."""
+        ``quantize``).
+
+        ``pq_m``: IVF-PQ (:mod:`art_sbir_tpu.ops.pq`) — requires
+        ``ivf_nlist``; the gallery is product-quantized to ``pq_m``
+        uint8 codes/row (default 64 -> 64x smaller than f32) and the
+        probe scores candidate CODES via the gather-free ADC scan.
+        ``pq_rerank`` picks the residency of the exact rows used to
+        re-score the top ``rerank_factor * k_max`` ADC candidates:
+        ``'float32'`` / ``'bfloat16'`` (exact values, bf16 carries the
+        quant-mode value-rounding caveat) or ``'none'`` — the rows are
+        DROPPED, results are approximate (ADC-ordered, reconstruction-
+        distance values), and HBM holds only codes + cluster table:
+        the extreme-capacity mode (~pq_m bytes/row; millions of rows
+        resident in hundreds of MB). Immutable single-device indexes
+        only."""
         n0 = int(gallery_features.shape[0])
         if n0 == 0 and capacity is None:
             raise ValueError("cannot serve an empty gallery "
@@ -249,6 +265,29 @@ class RetrievalEngine:
                 self._ivf = build_ivf(
                     self.gallery, int(ivf_nlist) or None, metric=metric)
             self.use_fused = False  # the probe replaces both scan routes
+
+        self._pq = None
+        if pq_m is not None:
+            if self._ivf is None:
+                raise ValueError("pq_m requires ivf_nlist= (IVF-PQ: the "
+                                 "probe selects which codes to score)")
+            if capacity is not None or mesh is not None or quantize:
+                raise ValueError("pq_m serves immutable single-device "
+                                 "indexes only (no capacity=/mesh=/"
+                                 "quantize=)")
+            if pq_rerank not in ("none", "float32", "bfloat16"):
+                raise ValueError(f"pq_rerank must be none|float32|bfloat16,"
+                                 f" got {pq_rerank!r}")
+            from art_sbir_tpu.ops.pq import encode_pq, train_pq
+
+            cb = train_pq(self.gallery, int(pq_m),
+                          k_codes=min(256, n0), metric=metric)
+            self._pq = (cb, encode_pq(self.gallery, cb))
+            self._rerank_factor = int(rerank_factor)
+            if pq_rerank == "none":
+                self.gallery = None  # codes + table are the whole index
+            elif pq_rerank == "bfloat16":
+                self.gallery = self.gallery.astype(jnp.bfloat16)
 
         self._qg = None
         self._quant_fused = False
@@ -349,7 +388,16 @@ class RetrievalEngine:
             ivf = self._ivf
             if ivf is not None and self.capacity is not None:
                 ivf, spill = ivf.as_index(), ivf.spill  # online snapshot
-        if ivf is not None:
+        if self._pq is not None:
+            from art_sbir_tpu.ops.pq import ivf_pq_search
+
+            emb = self._embed(jnp.asarray(images_u8))
+            cb, codes = self._pq
+            vals, idx = ivf_pq_search(
+                emb, ivf, codes, cb, nprobe=self._ivf_nprobe,
+                k=self.k_max, rows=gallery,
+                rerank_factor=self._rerank_factor)
+        elif ivf is not None:
             from art_sbir_tpu.ops.ivf import ivf_search
 
             emb = self._embed(jnp.asarray(images_u8))
@@ -402,6 +450,11 @@ class RetrievalEngine:
                     else jnp.sqrt(vals)
         else:
             vals, idx = self._program(jnp.asarray(images_u8), gallery, mask)
+        if not isinstance(vals, np.ndarray):
+            # ONE bundled host pull for both arrays: separate np.asarray
+            # calls each pay a dispatch + transfer RTT through the tunnel
+            # (measured 2x on the IVF route at 600k — PERF.md)
+            vals, idx = jax.device_get((vals, idx))
         return np.asarray(vals[:b]), np.asarray(idx[:b])
 
     def add_images(self, items: Sequence[Tuple[bytes, str]]) -> List[int]:
@@ -484,6 +537,9 @@ class RetrievalEngine:
         eval's ``--features``). Returns the cache folder name."""
         from art_sbir_tpu.retrieval.embed import save_image_features
 
+        if self.gallery is None:
+            raise ValueError("pq_rerank='none' dropped the exact rows; "
+                             "there is nothing full-precision to save")
         with self._lock:  # snapshot refs only; transfer outside the lock
             gallery, mask = self.gallery, self._mask
             paths = list(self.image_paths)

@@ -445,6 +445,61 @@ def bench_serving(rtt: float) -> None:
                 f"({b/best:,.0f} qps incl. encode + one host drain)")
 
 
+def bench_ivf(rtt: float) -> None:
+    """Diagnostic: the IVF clustered-index route at the serving regime
+    (small coalesced batch, big CLUSTERED gallery — the geometry its
+    recall contract is written for) vs the fused exact scan. Re-measures
+    the N-independent-dispatch claim each round (PERF.md "IVF clustered
+    index"); dispatch -> host pull, like the engine."""
+    import jax
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.ops.distance import retrieve_chunked
+    from art_sbir_tpu.ops.ivf import build_ivf, ivf_search
+    from art_sbir_tpu.ops.quant import topk_overlap
+    from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused
+
+    n, b = 600_000, 8
+    kc, ka, kn, kq = jax.random.split(jax.random.key(17), 4)
+    nb = int(np.sqrt(n))
+    centers = 4.0 * jax.random.normal(kc, (nb, DIM), jnp.float32)
+    assign = jax.random.randint(ka, (n,), 0, nb)
+    g = (jnp.take(centers, assign, axis=0)
+         + 0.5 * jax.random.normal(kn, (n, DIM), jnp.float32))
+    _ = np.asarray(g[0, 0])
+    t0 = time.perf_counter()
+    index = build_ivf(g, None)
+    _ = np.asarray(index.row_ids[0, 0])
+    build_s = time.perf_counter() - t0
+    q = g[:b] + 0.1 * jax.random.normal(kq, (b, DIM), jnp.float32)
+    pos = jnp.zeros(b, jnp.int32)
+
+    def ivf():
+        return jax.device_get(ivf_search(q, index, g, nprobe=8, k=10))
+
+    def fused():
+        _, v, i = retrieve_fused(q, g, pos, k=10, with_ranks=False,
+                                 device_get=True)
+        return v, i
+
+    ivf(), fused()  # warm/compile
+    ti = tf = float("inf")
+    for _ in range(max(ROUNDS, 6)):  # interleaved (time-shared chip)
+        t0 = time.perf_counter()
+        ivf()
+        ti = min(ti, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fused()
+        tf = min(tf, time.perf_counter() - t0)
+    _, ids = ivf_search(q, index, g, nprobe=8, k=10)
+    _, _, ei = retrieve_chunked(q, g, pos, k=10, chunk=b)
+    ov = topk_overlap(ids, ei)
+    log(f"IVF route (600k clustered, B={b}, nprobe=8): "
+        f"{ti*1e3:.1f} ms/dispatch vs fused exact {tf*1e3:.1f} ms "
+        f"({tf/ti:.2f}x); build {build_s:.0f}s, recall@10 vs exact "
+        f"{ov:.4f} ({index.stats()['nlist']} clusters)")
+
+
 def tpu_reachable(timeout_s: float = 240.0) -> bool:
     """Probe backend init in a SUBPROCESS with a timeout: when the axon
     relay is down, ``jax.devices()`` blocks indefinitely in-process (the
@@ -542,6 +597,11 @@ def main() -> None:
         bench_big_gallery(rtt)
     except Exception as e:
         log(f"1M-gallery bench skipped: {e}")
+
+    try:
+        bench_ivf(rtt)
+    except Exception as e:  # diagnostic only
+        log(f"IVF bench skipped: {e}")
 
     print(
         json.dumps(

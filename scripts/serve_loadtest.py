@@ -67,6 +67,16 @@ def main() -> None:
                         "0 = auto nlist); composes with --churn (online "
                         "IVF) but not --quantize")
     p.add_argument("--ivf_nprobe", type=int, default=8)
+    p.add_argument("--pq_m", type=int, default=None,
+                   help="IVF-PQ codes/row (requires --ivf_nlist; "
+                        "ops/pq.py)")
+    p.add_argument("--pq_rerank", default="bfloat16",
+                   choices=["none", "float32", "bfloat16"])
+    p.add_argument("--clustered", action="store_true",
+                   help="blob-structured synthetic gallery (realistic "
+                        "image-embedding geometry — the regime IVF's "
+                        "recall contract is written for) instead of the "
+                        "flat gaussian")
     args = p.parse_args()
 
     import jax
@@ -96,7 +106,15 @@ def main() -> None:
                            train=False)
 
     rng = np.random.default_rng(0)
-    gallery = rng.standard_normal((args.gallery, EMBED_DIM)).astype(np.float32)
+    if args.clustered:
+        nb = max(4, int(np.sqrt(args.gallery)))
+        centers = 4.0 * rng.standard_normal((nb, EMBED_DIM))
+        gallery = (centers[rng.integers(0, nb, args.gallery)]
+                   + 0.5 * rng.standard_normal((args.gallery, EMBED_DIM))
+                   ).astype(np.float32)
+    else:
+        gallery = rng.standard_normal(
+            (args.gallery, EMBED_DIM)).astype(np.float32)
     if args.quantize and args.churn:
         raise SystemExit("--quantize serves immutable indexes; drop --churn")
     engine = RetrievalEngine(
@@ -104,9 +122,14 @@ def main() -> None:
         image_size=s, k_max=10, max_batch=args.max_batch,
         capacity=args.gallery + 64 if args.churn else None,
         quantize=args.quantize, rerank_dtype=args.rerank_dtype,
-        ivf_nlist=args.ivf_nlist, ivf_nprobe=args.ivf_nprobe)
+        ivf_nlist=args.ivf_nlist, ivf_nprobe=args.ivf_nprobe,
+        pq_m=args.pq_m, pq_rerank=args.pq_rerank)
     if engine._ivf is not None:
         log(f"IVF index: {engine._ivf.stats()}")
+    if engine._pq is not None:
+        cb = engine._pq[0]
+        log(f"PQ: m={cb.m} k={cb.k_codes} ({cb.m} B/row); rows "
+            f"{'dropped' if engine.gallery is None else engine.gallery.dtype}")
     batcher = MicroBatcher(engine, window_ms=args.window_ms)
 
     log(f"warming compile for all batch buckets {engine.buckets}...")

@@ -120,3 +120,32 @@ def test_training_lifts_retrieval_above_chance():
     # 0.073 chance line; 3x is a conservative regression floor.
     assert after > 3.0 * chance, (after, chance)
     assert after > before + 0.10, (before, after)
+
+    # IVF on the TRAINED embeddings — the geometry the index actually
+    # serves (class-clustered encoder outputs), not synthetic blobs:
+    # sketch-query recall vs the exact path survives a 2/8-cluster probe,
+    # is monotone in nprobe, and the full probe is identical (exactness).
+    from art_sbir_tpu.ops.distance import retrieve_chunked
+    from art_sbir_tpu.ops.ivf import build_ivf, ivf_search
+    from art_sbir_tpu.ops.quant import topk_overlap
+
+    pe = jnp.asarray(np.asarray(embed(jnp.asarray(vp))))
+    se = jnp.asarray(np.asarray(embed(jnp.asarray(vs))))
+    index = build_ivf(pe, 8, iters=10, seed=0)
+    _, _, exact_ids = retrieve_chunked(se, pe, jnp.zeros(len(vs), jnp.int32),
+                                       k=10, chunk=128)
+    recalls = []
+    for nprobe in (2, 4, 8):
+        _, ids = ivf_search(se, index, pe, nprobe=nprobe, k=10)
+        recalls.append(topk_overlap(ids, exact_ids))
+    _, ids1 = ivf_search(se, index, pe, nprobe=2, k=1)
+    top1 = float(np.mean(np.asarray(ids1)[:, 0] == np.asarray(exact_ids)[:, 0]))
+    print(f"ivf-on-trained-embeddings recalls@10 (nprobe 2/4/8) {recalls} "
+          f"top1@nprobe=2 {top1}")
+    # deterministic run (fixed seeds); measured by this exact recipe:
+    # recalls@10 [0.767, 0.955, 1.0], top1@nprobe=2 0.906 — floors leave
+    # margin (the printed line re-measures every run)
+    assert recalls[0] >= 0.55, recalls
+    assert recalls[-1] == 1.0, recalls
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    assert top1 >= 0.85, top1

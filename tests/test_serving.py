@@ -803,6 +803,48 @@ def test_engine_ivf_auto_nlist(tiny_engine):
     assert out["paths"][0] == "gallery/img_4.png"
 
 
+def test_engine_ivf_pq_routes(tiny_engine):
+    """pq_m + ivf_nlist (IVF-PQ): full probe + rerank covering the whole
+    candidate set matches the exact engine; pq_rerank='none' drops the
+    rows (extreme capacity) yet still self-retrieves, and save()
+    refuses; invalid compositions raise."""
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    gal = np.asarray(eng.gallery)
+    pq = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8,
+        ivf_nlist=4, ivf_nprobe=4, pq_m=4, rerank_factor=1000,
+        pq_rerank="float32")
+    v0, i0 = eng.search_arrays(imgs[[2, 13, 7]])
+    v1, i1 = pq.search_arrays(imgs[[2, 13, 7]])
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=2e-2)
+
+    pure = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8,
+        ivf_nlist=4, ivf_nprobe=4, pq_m=4, pq_rerank="none")
+    assert pure.gallery is None  # codes + cluster table are the index
+    out = pure.search(_png_bytes(imgs[9]))
+    assert out["paths"][0] == "gallery/img_9.png"
+    with pytest.raises(ValueError, match="dropped"):
+        pure.save()
+
+    with pytest.raises(ValueError, match="requires ivf_nlist"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, pq_m=4)
+    with pytest.raises(ValueError, match="immutable"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, ivf_nlist=4, pq_m=4,
+                        capacity=32)
+    with pytest.raises(ValueError, match="pq_rerank"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, ivf_nlist=4, pq_m=4,
+                        pq_rerank="int8")
+
+
 def test_engine_online_ivf_churn(tiny_engine):
     """capacity + ivf_nlist (ONLINE IVF): stays result-identical to the
     full-scan online engine through adds, removals, and freed-slot reuse
