@@ -254,18 +254,29 @@ def build_ivf(
     ck = min(chunk, n)
     gp, _, _ = _pad_rows(gx, ck)
     labels = np.asarray(_assign(gp, cent, chunk=ck))[:n]
+    table, counts = pack_table(labels, n_clusters, n)
+    return IVFIndex(cent, jnp.asarray(table), counts, metric)
 
+
+def pack_table(labels: np.ndarray, n_clusters: int,
+               n_rows: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side cluster-table packing: per-row labels -> ((C, Cpad)
+    int32 table with pad slots = ``n_rows``, (C,) int64 counts). Row ids
+    ascend within each cluster (the tie-order contract). Shared by
+    :func:`build_ivf` and out-of-core builders that assign labels chunk
+    by chunk without ever materializing the gallery (e.g. the 3M-row
+    IVF-PQ capacity probe, ``scripts/probe_pq.py``)."""
     counts = np.bincount(labels, minlength=n_clusters).astype(np.int64)
     pad = int(counts.max()) if n_clusters else 1
     pad = max(8, -(-pad // 8) * 8)  # lane-friendly width, >= 8
-    table = np.full((n_clusters, pad), n, dtype=np.int32)
+    table = np.full((n_clusters, pad), n_rows, dtype=np.int32)
     order = np.argsort(labels, kind="stable")  # ids ascend within a cluster
     offsets = np.zeros(n_clusters, np.int64)
     offsets[1:] = np.cumsum(counts)[:-1]
     for c in range(n_clusters):
         rows = order[offsets[c]: offsets[c] + counts[c]]
         table[c, : len(rows)] = rows
-    return IVFIndex(cent, jnp.asarray(table), counts, metric)
+    return table, counts
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "nprobe"))
