@@ -278,11 +278,13 @@ class RetrievalEngine:
             if pq_rerank not in ("none", "float32", "bfloat16"):
                 raise ValueError(f"pq_rerank must be none|float32|bfloat16,"
                                  f" got {pq_rerank!r}")
-            from art_sbir_tpu.ops.pq import encode_pq, train_pq
+            from art_sbir_tpu.ops.pq import build_ivf_pq
 
-            cb = train_pq(self.gallery, int(pq_m),
-                          k_codes=min(256, n0), metric=metric)
-            self._pq = (cb, encode_pq(self.gallery, cb))
+            # RESIDUAL IVF-PQ (FAISS by_residual): codes quantize
+            # x - c(x), the within-cluster variation ranking needs —
+            # raw-row PQ measured collapsed at scale (ops/pq.py)
+            self._pq = build_ivf_pq(self.gallery, self._ivf, int(pq_m),
+                                    k_codes=min(256, n0))
             self._rerank_factor = int(rerank_factor)
             if pq_rerank == "none":
                 self.gallery = None  # codes + table are the whole index

@@ -50,7 +50,7 @@ from art_sbir_tpu.ops.distance import retrieve_chunked  # noqa: E402
 from art_sbir_tpu.ops.ivf import (  # noqa: E402
     IVFIndex, _assign, build_ivf, kmeans, pack_table)
 from art_sbir_tpu.ops.pq import (  # noqa: E402
-    encode_pq, ivf_pq_search, train_pq)
+    PQCodebook, build_ivf_pq, encode_pq, ivf_pq_search, train_pq)
 from art_sbir_tpu.ops.quant import topk_overlap  # noqa: E402
 
 if not args.cpu and not bench.tpu_reachable():
@@ -84,11 +84,15 @@ if args.part in ("a", "both"):
     bench.log(f"A: IVF build {time.perf_counter() - t0:.1f}s "
               f"{index.stats()}")
     t0 = time.perf_counter()
-    cb = train_pq(g, M)
-    codes = encode_pq(g, cb)
-    _ = np.asarray(codes[0, 0])
-    bench.log(f"A: PQ train+encode {time.perf_counter() - t0:.1f}s "
+    raw_cb = train_pq(g, M)
+    raw_codes = encode_pq(g, raw_cb)
+    _ = np.asarray(raw_codes[0, 0])
+    bench.log(f"A: raw PQ train+encode {time.perf_counter() - t0:.1f}s "
               f"(m={M}, {M} B/row)")
+    t0 = time.perf_counter()
+    cb, codes = build_ivf_pq(g, index, M)
+    _ = np.asarray(codes[0, 0])
+    bench.log(f"A: residual IVF-PQ build {time.perf_counter() - t0:.1f}s")
     gb16 = g.astype(jnp.bfloat16)
 
     B_MAX = 32
@@ -97,12 +101,15 @@ if args.part in ("a", "both"):
                                    k=10, chunk=B_MAX)
     exact = np.asarray(exact)
 
-    for tag, kw in (("ivf exact-scored", {}),
-                    ("ivf-pq rerank-bf16", {"pq": True, "rows": gb16}),
-                    ("ivf-pq pure", {"pq": True, "rows": None})):
-        if kw.get("pq"):
-            _, ids = ivf_pq_search(q, index, codes, cb, nprobe=8, k=10,
-                                   rows=kw["rows"])
+    for tag, c_cb, c_codes, rows in (
+            ("ivf exact-scored", None, None, None),
+            ("raw-pq rerank-bf16", raw_cb, raw_codes, gb16),
+            ("raw-pq pure", raw_cb, raw_codes, None),
+            ("res-pq rerank-bf16", cb, codes, gb16),
+            ("res-pq pure", cb, codes, None)):
+        if c_cb is not None:
+            _, ids = ivf_pq_search(q, index, c_codes, c_cb, nprobe=8,
+                                   k=10, rows=rows)
         else:
             from art_sbir_tpu.ops.ivf import ivf_search
             _, ids = ivf_search(q, index, g, nprobe=8, k=10)
@@ -152,24 +159,31 @@ if args.part in ("b", "both"):
         return blob_chunk(jax.random.fold_in(jax.random.key(42), i),
                           rows, nb, centers)
 
-    # fit codebooks + IVF centroids on chunk 0 (the seeded sample)
+    # fit IVF centroids + RESIDUAL codebooks on chunk 0 (seeded sample) —
+    # the streamed form of ops/pq.py::build_ivf_pq (the gallery is never
+    # materialized, so labels/residuals/codes are produced chunk-wise)
     t0 = time.perf_counter()
     sample = chunk_rows(0, CHUNK)
     nlist = max(1, int(2 * np.sqrt(N)))
     cent = kmeans(sample, nlist, iters=10)
-    cb = train_pq(sample, M)
-    # stream: encode + assign every chunk; only codes/labels leave device
+    s_labels = _assign(sample, cent, chunk=CHUNK)
+    base = train_pq(sample - jnp.take(cent, s_labels, axis=0), M,
+                    metric="euclidean")
+    cb = PQCodebook(base.centroids, "euclidean", True)
+    del sample, s_labels
+    # stream: assign + residual-encode every chunk
     codes_np = np.empty((N, M), np.uint8)
     labels_np = np.empty(N, np.int32)
     done = 0
     for i in range(n_chunks):
         rows = min(CHUNK, N - done)
         ch = chunk_rows(i, rows)
-        codes_np[done:done + rows] = np.asarray(encode_pq(ch, cb))
-        labels_np[done:done + rows] = np.asarray(
-            _assign(ch, cent, chunk=rows))
+        lab = _assign(ch, cent, chunk=rows)
+        codes_np[done:done + rows] = np.asarray(
+            encode_pq(ch - jnp.take(cent, lab, axis=0), cb))
+        labels_np[done:done + rows] = np.asarray(lab)
         done += rows
-        del ch
+        del ch, lab
     table, counts = pack_table(labels_np, nlist, N)
     index = IVFIndex(cent, jnp.asarray(table), counts, "euclidean")
     codes = jnp.asarray(codes_np)
