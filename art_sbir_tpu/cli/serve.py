@@ -122,7 +122,8 @@ def build_engine(args):
                     ivf_nlist=getattr(args, "ivf_nlist", None),
                     ivf_nprobe=getattr(args, "ivf_nprobe", 8),
                     pq_m=getattr(args, "pq_m", None),
-                    pq_rerank=getattr(args, "pq_rerank", "bfloat16"))
+                    pq_rerank=getattr(args, "pq_rerank", "bfloat16"),
+                    pq_rerank_factor=getattr(args, "pq_rerank_factor", 64))
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -295,8 +296,13 @@ def main(argv=None):
     p.add_argument("--pq_rerank", default="bfloat16",
                    choices=["none", "float32", "bfloat16"],
                    help="residency of the exact rows reranking the top "
-                        "rerank_factor*k ADC candidates; 'none' DROPS the "
-                        "rows (extreme capacity, approximate values)")
+                        "pq_rerank_factor*k ADC candidates; 'none' DROPS "
+                        "the rows (extreme capacity, approximate values)")
+    p.add_argument("--pq_rerank_factor", type=int, default=64,
+                   help="PQ exact-rerank candidate budget = factor * "
+                        "k_max (measured: recall@10 0.44/0.77/0.98 at "
+                        "4/16/64 on a 600k adversarial gallery; the "
+                        "re-score is cheap O(Q*r*D))")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

@@ -111,6 +111,7 @@ class RetrievalEngine:
         ivf_nprobe: int = 8,
         pq_m: Optional[int] = None,
         pq_rerank: str = "bfloat16",
+        pq_rerank_factor: int = 64,
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`,
         :meth:`remove`). The gallery is padded to a fixed ``capacity``
@@ -167,7 +168,10 @@ class RetrievalEngine:
         uint8 codes/row (default 64 -> 64x smaller than f32) and the
         probe scores candidate CODES via the gather-free ADC scan.
         ``pq_rerank`` picks the residency of the exact rows used to
-        re-score the top ``rerank_factor * k_max`` ADC candidates:
+        re-score the top ``pq_rerank_factor * k_max`` ADC candidates
+        (default 64 — measured on a 600k adversarial clustered gallery:
+        recall@10 0.44/0.77/0.98 at factors 4/16/64; the exact re-score
+        is O(Q*r*D) on gathered rows, so the deep budget is cheap):
         ``'float32'`` / ``'bfloat16'`` (exact values, bf16 carries the
         quant-mode value-rounding caveat) or ``'none'`` — the rows are
         DROPPED, results are approximate (ADC-ordered, reconstruction-
@@ -285,7 +289,7 @@ class RetrievalEngine:
             # raw-row PQ measured collapsed at scale (ops/pq.py)
             self._pq = build_ivf_pq(self.gallery, self._ivf, int(pq_m),
                                     k_codes=min(256, n0))
-            self._rerank_factor = int(rerank_factor)
+            self._rerank_factor = int(pq_rerank_factor)
             if pq_rerank == "none":
                 self.gallery = None  # codes + table are the whole index
             elif pq_rerank == "bfloat16":

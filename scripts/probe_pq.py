@@ -115,6 +115,15 @@ if args.part in ("a", "both"):
             _, ids = ivf_search(q, index, g, nprobe=8, k=10)
         bench.log(f"A: recall@10 {tag}: {topk_overlap(ids, exact):.4f}")
 
+    # the rerank budget is the quality lever: the exact re-score is
+    # O(Q*r*D) on gathered rows, so deep budgets stay cheap while the
+    # ADC only needs to LAND the true top-k in its top-r
+    for rf in (16, 64, 256):
+        _, ids = ivf_pq_search(q, index, codes, cb, nprobe=8, k=10,
+                               rows=gb16, rerank_factor=rf)
+        bench.log(f"A: recall@10 res-pq rerank r={rf * 10:>4}: "
+                  f"{topk_overlap(ids, exact):.4f}")
+
     def run(b):
         qb = q[:b]
 

@@ -72,6 +72,7 @@ def main() -> None:
                         "ops/pq.py)")
     p.add_argument("--pq_rerank", default="bfloat16",
                    choices=["none", "float32", "bfloat16"])
+    p.add_argument("--pq_rerank_factor", type=int, default=64)
     p.add_argument("--clustered", action="store_true",
                    help="blob-structured synthetic gallery (realistic "
                         "image-embedding geometry — the regime IVF's "
@@ -123,7 +124,8 @@ def main() -> None:
         capacity=args.gallery + 64 if args.churn else None,
         quantize=args.quantize, rerank_dtype=args.rerank_dtype,
         ivf_nlist=args.ivf_nlist, ivf_nprobe=args.ivf_nprobe,
-        pq_m=args.pq_m, pq_rerank=args.pq_rerank)
+        pq_m=args.pq_m, pq_rerank=args.pq_rerank,
+        pq_rerank_factor=args.pq_rerank_factor)
     if engine._ivf is not None:
         log(f"IVF index: {engine._ivf.stats()}")
     if engine._pq is not None:

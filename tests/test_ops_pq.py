@@ -225,6 +225,23 @@ def test_query_chunking_matches_single_chunk():
     assert ve.shape == (0, 5) and ie.shape == (0, 5)
 
 
+def test_build_ivf_pq_chunked_build_matches_one_shot():
+    """The chunk-streamed residual encode (the out-of-core build path)
+    produces identical codes to a single-chunk build."""
+    from art_sbir_tpu.ops.pq import build_ivf_pq
+
+    rng = np.random.default_rng(9)
+    g = rng.standard_normal((100, 16)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 4, iters=5, seed=0)
+    cb1, c1 = build_ivf_pq(jnp.asarray(g), idx, 4, k_codes=16, iters=5,
+                           chunk=16384)
+    cb2, c2 = build_ivf_pq(jnp.asarray(g), idx, 4, k_codes=16, iters=5,
+                           chunk=16)
+    np.testing.assert_array_equal(np.asarray(cb1.centroids),
+                                  np.asarray(cb2.centroids))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
 def test_validation_errors():
     rng = np.random.default_rng(6)
     g = rng.standard_normal((64, 16)).astype(np.float32)

@@ -815,7 +815,7 @@ def test_engine_ivf_pq_routes(tiny_engine):
     pq = RetrievalEngine(
         eng._forward, gal, eng.image_paths, metric="euclidean",
         image_size=eng.image_size, k_max=5, max_batch=8,
-        ivf_nlist=4, ivf_nprobe=4, pq_m=4, rerank_factor=1000,
+        ivf_nlist=4, ivf_nprobe=4, pq_m=4, pq_rerank_factor=1000,
         pq_rerank="float32")
     v0, i0 = eng.search_arrays(imgs[[2, 13, 7]])
     v1, i1 = pq.search_arrays(imgs[[2, 13, 7]])
