@@ -123,7 +123,8 @@ def build_engine(args):
                     ivf_nprobe=getattr(args, "ivf_nprobe", 8),
                     pq_m=getattr(args, "pq_m", None),
                     pq_rerank=getattr(args, "pq_rerank", "bfloat16"),
-                    pq_rerank_factor=getattr(args, "pq_rerank_factor", 64))
+                    pq_rerank_factor=getattr(args, "pq_rerank_factor", 64),
+                    index_cache=getattr(args, "index_cache", None))
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -303,6 +304,10 @@ def main(argv=None):
                         "k_max (measured: recall@10 0.44/0.77/0.98 at "
                         "4/16/64 on a 600k adversarial gallery; the "
                         "re-score is cheap O(Q*r*D))")
+    p.add_argument("--index_cache", default=None,
+                   help="directory persisting the built IVF (+PQ) index "
+                        "(.npz) — restarts skip the k-means/encode build; "
+                        "immutable --ivf_nlist indexes only")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

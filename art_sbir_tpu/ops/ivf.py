@@ -258,6 +258,24 @@ def build_ivf(
     return IVFIndex(cent, jnp.asarray(table), counts, metric)
 
 
+def save_ivf(index: IVFIndex, path) -> None:
+    """Persist an index as one ``.npz`` (centroids, table, counts,
+    metric) so serving restarts skip the k-means build — the build is
+    seconds at 600k rows but grows linearly (`PERF.md`)."""
+    np.savez_compressed(
+        path, centroids=np.asarray(index.centroids),
+        row_ids=np.asarray(index.row_ids), counts=index.counts,
+        metric=np.asarray(index.metric))
+
+
+def load_ivf(path) -> IVFIndex:
+    with np.load(path) as z:
+        return IVFIndex(jnp.asarray(z["centroids"]),
+                        jnp.asarray(z["row_ids"]),
+                        z["counts"].astype(np.int64),
+                        str(z["metric"]))
+
+
 def pack_table(labels: np.ndarray, n_clusters: int,
                n_rows: int) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side cluster-table packing: per-row labels -> ((C, Cpad)

@@ -236,6 +236,23 @@ def build_ivf_pq(
     return cb, jnp.asarray(codes)
 
 
+def save_pq(cb: PQCodebook, codes: jax.Array, path) -> None:
+    """Persist a codebook + codes as one ``.npz`` (pairs with
+    :func:`art_sbir_tpu.ops.ivf.save_ivf` for full IVF-PQ restarts)."""
+    np.savez_compressed(
+        path, centroids=np.asarray(cb.centroids),
+        metric=np.asarray(cb.metric),
+        residual=np.asarray(cb.residual),
+        codes=np.asarray(codes))
+
+
+def load_pq(path) -> Tuple[PQCodebook, jax.Array]:
+    with np.load(path) as z:
+        cb = PQCodebook(jnp.asarray(z["centroids"]), str(z["metric"]),
+                        bool(z["residual"]))
+        return cb, jnp.asarray(z["codes"])
+
+
 def pq_decode(codes: jax.Array, cb: PQCodebook) -> jax.Array:
     """Codes -> reconstructed rows (tests/diagnostics; one gather per
     subspace — NOT the serving path)."""

@@ -112,6 +112,7 @@ class RetrievalEngine:
         pq_m: Optional[int] = None,
         pq_rerank: str = "bfloat16",
         pq_rerank_factor: int = 64,
+        index_cache: Optional[Path | str] = None,
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`,
         :meth:`remove`). The gallery is padded to a fixed ``capacity``
@@ -248,6 +249,13 @@ class RetrievalEngine:
 
         self._ivf = None
         self._ivf_nprobe = int(ivf_nprobe)
+        if index_cache is not None and (
+                ivf_nlist is None or capacity is not None):
+            raise ValueError("index_cache persists immutable IVF/IVF-PQ "
+                             "indexes only (requires ivf_nlist, no "
+                             "capacity= — online mutations would "
+                             "invalidate the cache)")
+        ivf_cached = False  # a cached PQ must pair with its cached IVF
         if ivf_nlist is not None:
             if mesh is not None or quantize:
                 raise ValueError("ivf_nlist does not compose with mesh=/"
@@ -264,10 +272,28 @@ class RetrievalEngine:
                 self._ivf = build_ivf_online(
                     self.gallery, n0, int(ivf_nlist) or None, metric=metric)
             else:
-                from art_sbir_tpu.ops.ivf import build_ivf
+                from art_sbir_tpu.ops.ivf import build_ivf, load_ivf, \
+                    save_ivf
 
-                self._ivf = build_ivf(
-                    self.gallery, int(ivf_nlist) or None, metric=metric)
+                cache_dir = Path(index_cache) if index_cache else None
+                if cache_dir is not None:
+                    cache_dir.mkdir(parents=True, exist_ok=True)
+                    f = cache_dir / "ivf.npz"
+                    if f.exists():
+                        cand = load_ivf(f)
+                        if (cand.metric == metric
+                                and int(cand.centroids.shape[1])
+                                == int(self.gallery.shape[1])
+                                and int(cand.counts.sum()) == n0
+                                and (int(ivf_nlist) == 0
+                                     or cand.nlist == int(ivf_nlist))):
+                            self._ivf = cand
+                            ivf_cached = True
+                if self._ivf is None:
+                    self._ivf = build_ivf(
+                        self.gallery, int(ivf_nlist) or None, metric=metric)
+                    if cache_dir is not None:
+                        save_ivf(self._ivf, cache_dir / "ivf.npz")
             self.use_fused = False  # the probe replaces both scan routes
 
         self._pq = None
@@ -282,13 +308,28 @@ class RetrievalEngine:
             if pq_rerank not in ("none", "float32", "bfloat16"):
                 raise ValueError(f"pq_rerank must be none|float32|bfloat16,"
                                  f" got {pq_rerank!r}")
-            from art_sbir_tpu.ops.pq import build_ivf_pq
+            from art_sbir_tpu.ops.pq import build_ivf_pq, load_pq, save_pq
 
             # RESIDUAL IVF-PQ (FAISS by_residual): codes quantize
             # x - c(x), the within-cluster variation ranking needs —
             # raw-row PQ measured collapsed at scale (ops/pq.py)
-            self._pq = build_ivf_pq(self.gallery, self._ivf, int(pq_m),
-                                    k_codes=min(256, n0))
+            cache_dir = Path(index_cache) if index_cache else None
+            if cache_dir is not None and ivf_cached and (
+                    cache_dir / "pq.npz").exists():
+                # only pair a cached PQ with the cached IVF it was
+                # encoded against (a rebuilt IVF has fresh centroids)
+                cand_cb, cand_codes = load_pq(cache_dir / "pq.npz")
+                if (cand_cb.residual and cand_cb.metric == metric
+                        and cand_cb.m == int(pq_m)
+                        and cand_cb.k_codes == min(256, n0)
+                        and cand_codes.shape == (n0, int(pq_m))):
+                    self._pq = (cand_cb, cand_codes)
+            if self._pq is None:
+                self._pq = build_ivf_pq(self.gallery, self._ivf,
+                                        int(pq_m), k_codes=min(256, n0))
+                if cache_dir is not None:
+                    save_pq(self._pq[0], self._pq[1],
+                            cache_dir / "pq.npz")
             self._rerank_factor = int(pq_rerank_factor)
             if pq_rerank == "none":
                 self.gallery = None  # codes + table are the whole index

@@ -499,6 +499,33 @@ def bench_ivf(rtt: float) -> None:
         f"({tf/ti:.2f}x); build {build_s:.0f}s, recall@10 vs exact "
         f"{ov:.4f} ({index.stats()['nlist']} clusters)")
 
+    # IVF-PQ tier (residual codes, 64 B/row; engine-default r=64*k rerank
+    # on bf16 rows) — capacity ladder re-measured each round (PERF.md)
+    from art_sbir_tpu.ops.pq import build_ivf_pq, ivf_pq_search
+
+    t0 = time.perf_counter()
+    cb, codes = build_ivf_pq(g, index, 64)
+    _ = np.asarray(codes[0, 0])
+    pq_build = time.perf_counter() - t0
+    gb16 = g.astype(jnp.bfloat16)
+
+    def pq():
+        return jax.device_get(ivf_pq_search(q, index, codes, cb, nprobe=8,
+                                            k=10, rows=gb16,
+                                            rerank_factor=64))
+
+    pq()
+    tp = float("inf")
+    for _ in range(max(ROUNDS, 6)):
+        t0 = time.perf_counter()
+        pq()
+        tp = min(tp, time.perf_counter() - t0)
+    _, pids = ivf_pq_search(q, index, codes, cb, nprobe=8, k=10,
+                            rows=gb16, rerank_factor=64)
+    log(f"IVF-PQ route (residual m=64, r=640 bf16-rerank, B={b}): "
+        f"{tp*1e3:.1f} ms/dispatch, build {pq_build:.0f}s, "
+        f"recall@10 vs exact {topk_overlap(pids, ei):.4f}")
+
 
 def tpu_reachable(timeout_s: float = 240.0) -> bool:
     """Probe backend init in a SUBPROCESS with a timeout: when the axon

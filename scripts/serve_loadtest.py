@@ -73,6 +73,9 @@ def main() -> None:
     p.add_argument("--pq_rerank", default="bfloat16",
                    choices=["none", "float32", "bfloat16"])
     p.add_argument("--pq_rerank_factor", type=int, default=64)
+    p.add_argument("--index_cache", default=None,
+                   help="directory persisting the IVF/PQ index across "
+                        "restarts (immutable --ivf_nlist only)")
     p.add_argument("--clustered", action="store_true",
                    help="blob-structured synthetic gallery (realistic "
                         "image-embedding geometry — the regime IVF's "
@@ -125,7 +128,8 @@ def main() -> None:
         quantize=args.quantize, rerank_dtype=args.rerank_dtype,
         ivf_nlist=args.ivf_nlist, ivf_nprobe=args.ivf_nprobe,
         pq_m=args.pq_m, pq_rerank=args.pq_rerank,
-        pq_rerank_factor=args.pq_rerank_factor)
+        pq_rerank_factor=args.pq_rerank_factor,
+        index_cache=args.index_cache)
     if engine._ivf is not None:
         log(f"IVF index: {engine._ivf.stats()}")
     if engine._pq is not None:

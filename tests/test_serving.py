@@ -845,6 +845,53 @@ def test_engine_ivf_pq_routes(tiny_engine):
                         pq_rerank="int8")
 
 
+def test_engine_index_cache_roundtrip(tiny_engine, tmp_path, monkeypatch):
+    """index_cache= persists the built IVF+PQ index: a second engine
+    with identical parameters loads it (the k-means/encode build never
+    runs — asserted by poisoning the builders), serves identically, and
+    a parameter mismatch falls back to a rebuild."""
+    import art_sbir_tpu.ops.ivf as ivf_mod
+    import art_sbir_tpu.ops.pq as pq_mod
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    gal = np.asarray(eng.gallery)
+    kw = dict(metric="euclidean", image_size=eng.image_size, k_max=5,
+              max_batch=8, ivf_nlist=4, ivf_nprobe=4, pq_m=4,
+              pq_rerank_factor=1000, pq_rerank="float32",
+              index_cache=tmp_path / "idx")
+    first = RetrievalEngine(eng._forward, gal, eng.image_paths, **kw)
+    assert (tmp_path / "idx" / "ivf.npz").exists()
+    assert (tmp_path / "idx" / "pq.npz").exists()
+    v0, i0 = first.search_arrays(imgs[[3, 11]])
+
+    def boom(*a, **k):
+        raise AssertionError("build ran despite a valid cache")
+
+    monkeypatch.setattr(ivf_mod, "build_ivf", boom)
+    monkeypatch.setattr(pq_mod, "build_ivf_pq", boom)
+    second = RetrievalEngine(eng._forward, gal, eng.image_paths, **kw)
+    v1, i1 = second.search_arrays(imgs[[3, 11]])
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-6, atol=1e-6)
+    monkeypatch.undo()
+
+    # parameter mismatch (different m) -> cache rejected, rebuild works
+    third = RetrievalEngine(eng._forward, gal, eng.image_paths,
+                            **{**kw, "pq_m": 2})
+    out = third.search(_png_bytes(imgs[6]))
+    assert out["paths"][0] == "gallery/img_6.png"
+
+    with pytest.raises(ValueError, match="index_cache"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size,
+                        index_cache=tmp_path / "x")
+    with pytest.raises(ValueError, match="index_cache"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, ivf_nlist=4,
+                        capacity=32, index_cache=tmp_path / "x")
+
+
 def test_engine_online_ivf_churn(tiny_engine):
     """capacity + ivf_nlist (ONLINE IVF): stays result-identical to the
     full-scan online engine through adds, removals, and freed-slot reuse
