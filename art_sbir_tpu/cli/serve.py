@@ -124,6 +124,7 @@ def build_engine(args):
                     pq_m=getattr(args, "pq_m", None),
                     pq_rerank=getattr(args, "pq_rerank", "bfloat16"),
                     pq_rerank_factor=getattr(args, "pq_rerank_factor", 64),
+                    pq_opq_iters=getattr(args, "pq_opq_iters", 0),
                     index_cache=getattr(args, "index_cache", None))
 
     if args.features:
@@ -304,6 +305,10 @@ def main(argv=None):
                         "k_max (measured: recall@10 0.44/0.77/0.98 at "
                         "4/16/64 on a 600k adversarial gallery; the "
                         "re-score is cheap O(Q*r*D))")
+    p.add_argument("--pq_opq_iters", type=int, default=0,
+                   help="train an OPQ rotation for the PQ codes with this "
+                        "many alternating iterations (0 = plain residual "
+                        "PQ; quality at fixed bytes/row)")
     p.add_argument("--index_cache", default=None,
                    help="directory persisting the built IVF (+PQ) index "
                         "(.npz) — restarts skip the k-means/encode build; "

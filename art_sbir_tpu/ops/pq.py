@@ -66,11 +66,21 @@ class PQCodebook(NamedTuple):
     variation ranking needs. Measured essential at scale: on a 600k
     clustered gallery, raw-row PQ collapses to recall@10 ~0.12 (every
     row in a cluster shares a code; ADC cannot rank within the cluster)
-    while the residual form recovers it (PERF.md "IVF-PQ")."""
+    while the residual form recovers it (PERF.md "IVF-PQ").
+
+    ``rotation``: optional (D, D) ORTHOGONAL matrix applied before the
+    subspace split (OPQ, Ge et al. 2013): codes quantize ``x @ R``, and
+    because R is orthogonal every distance/dot in rotated space equals
+    the original-space one, so the exactness contracts are unchanged —
+    the rotation only redistributes variance/correlation across
+    subspaces so independent per-subspace codebooks waste less capacity.
+    Trained by alternating codebook fits with the closed-form Procrustes
+    solve (host-side SVD of the (D, D) cross-covariance at build time)."""
 
     centroids: jax.Array  # (M, K, ds) f32
     metric: str
     residual: bool = False
+    rotation: Optional[jax.Array] = None  # (D, D) orthogonal
 
     @property
     def m(self) -> int:
@@ -130,8 +140,14 @@ def train_pq(
     iters: int = 10,
     seed: int = 0,
     sample: int = 65536,
+    opq_iters: int = 0,
 ) -> PQCodebook:
-    """Fit per-subspace codebooks on a seeded row sample."""
+    """Fit per-subspace codebooks on a seeded row sample.
+
+    ``opq_iters > 0`` additionally learns the OPQ rotation by
+    alternating codebook refits with the closed-form orthogonal
+    Procrustes solve (``R = U V^T`` of ``X^T X_recon``, SVD on host —
+    build-time only)."""
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
     x = jnp.asarray(rows, jnp.float32)
@@ -149,9 +165,26 @@ def train_pq(
         sel = jax.random.choice(jax.random.PRNGKey(seed + 1), n, (sample,),
                                 replace=False)
         x = jnp.take(x, sel, axis=0)
-    cent = _train_pq_core(_split(x, m), jax.random.PRNGKey(seed),
-                          k=k_codes, iters=iters)
-    return PQCodebook(cent, metric)
+    key = jax.random.PRNGKey(seed)
+    if not opq_iters:
+        cent = _train_pq_core(_split(x, m), key, k=k_codes, iters=iters)
+        return PQCodebook(cent, metric)
+    rot = jnp.eye(d, dtype=jnp.float32)
+    cent = None
+    ck = min(16384, int(x.shape[0]))
+    for _ in range(opq_iters):
+        xr = x @ rot
+        cent = _train_pq_core(_split(xr, m), key, k=k_codes, iters=iters)
+        rem = (-xr.shape[0]) % ck
+        xp = (jnp.concatenate([xr, jnp.zeros((rem, d), xr.dtype)])
+              if rem else xr)
+        codes = _encode_core(xp, cent, chunk=ck)[: xr.shape[0]]
+        recon = pq_decode(codes, PQCodebook(cent, "euclidean"))
+        # orthogonal Procrustes: argmin_R ||x R - recon||_F, R = U V^T
+        u, _, vt = np.linalg.svd(np.asarray(x.T @ recon), full_matrices=False)
+        rot = jnp.asarray(u @ vt, jnp.float32)
+    cent = _train_pq_core(_split(x @ rot, m), key, k=k_codes, iters=iters)
+    return PQCodebook(cent, metric, False, rot)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -182,6 +215,8 @@ def encode_pq(rows: jax.Array, cb: PQCodebook, *,
         # residual codebooks quantize IVF residuals verbatim (the caller
         # — build_ivf_pq — already normalized before subtracting)
         x = _l2n(x)
+    if cb.rotation is not None:
+        x = x @ cb.rotation  # OPQ: codes live in the rotated space
     chunk = min(chunk, max(n, 1))
     rem = (-n) % chunk
     if rem:
@@ -199,6 +234,7 @@ def build_ivf_pq(
     seed: int = 0,
     sample: int = 65536,
     chunk: int = 16384,
+    opq_iters: int = 0,
 ) -> Tuple[PQCodebook, jax.Array]:
     """RESIDUAL IVF-PQ build over an existing IVF index -> (codebook,
     (N, M) uint8 codes). Each row is assigned to its cluster, the PQ
@@ -226,8 +262,9 @@ def build_ivf_pq(
     else:
         res_s = g - jnp.take(index.centroids, labels, axis=0)
     base = train_pq(res_s, m, k_codes=k_codes, metric="euclidean",
-                    iters=iters, seed=seed, sample=sample)
-    cb = PQCodebook(base.centroids, index.metric, True)
+                    iters=iters, seed=seed, sample=sample,
+                    opq_iters=opq_iters)
+    cb = PQCodebook(base.centroids, index.metric, True, base.rotation)
     codes = np.empty((n, m), np.uint8)
     for i in range(0, n, ck):
         res = (g[i: i + ck]
@@ -239,27 +276,32 @@ def build_ivf_pq(
 def save_pq(cb: PQCodebook, codes: jax.Array, path) -> None:
     """Persist a codebook + codes as one ``.npz`` (pairs with
     :func:`art_sbir_tpu.ops.ivf.save_ivf` for full IVF-PQ restarts)."""
+    extra = ({"rotation": np.asarray(cb.rotation)}
+             if cb.rotation is not None else {})
     np.savez_compressed(
         path, centroids=np.asarray(cb.centroids),
         metric=np.asarray(cb.metric),
         residual=np.asarray(cb.residual),
-        codes=np.asarray(codes))
+        codes=np.asarray(codes), **extra)
 
 
 def load_pq(path) -> Tuple[PQCodebook, jax.Array]:
     with np.load(path) as z:
+        rot = jnp.asarray(z["rotation"]) if "rotation" in z else None
         cb = PQCodebook(jnp.asarray(z["centroids"]), str(z["metric"]),
-                        bool(z["residual"]))
+                        bool(z["residual"]), rot)
         return cb, jnp.asarray(z["codes"])
 
 
 def pq_decode(codes: jax.Array, cb: PQCodebook) -> jax.Array:
-    """Codes -> reconstructed rows (tests/diagnostics; one gather per
-    subspace — NOT the serving path)."""
+    """Codes -> reconstructed rows in the INPUT space (tests/diagnostics;
+    one gather per subspace — NOT the serving path). OPQ codebooks
+    un-rotate the reconstruction (R orthogonal: inverse = transpose)."""
     parts = jax.vmap(lambda c, tab: jnp.take(tab, c.astype(jnp.int32),
                                              axis=0),
                      in_axes=(1, 0))(codes, cb.centroids)  # (M, N, ds)
-    return jnp.transpose(parts, (1, 0, 2)).reshape(codes.shape[0], cb.dim)
+    out = jnp.transpose(parts, (1, 0, 2)).reshape(codes.shape[0], cb.dim)
+    return out if cb.rotation is None else out @ cb.rotation.T
 
 
 def _adc_lut(q: jax.Array, cb: PQCodebook) -> jax.Array:
@@ -354,6 +396,7 @@ def _ivf_pq_core(
     codes: jax.Array,
     cb_cent: jax.Array,
     rows: Optional[jax.Array],
+    rot: Optional[jax.Array] = None,
     *,
     metric: str,
     k: int,
@@ -371,7 +414,8 @@ def _ivf_pq_core(
     ids = jnp.take(row_ids, probe, axis=0).reshape(qf.shape[0], -1)
     ids = jnp.sort(ids, axis=1)  # pads (=n) last; PQ ties break by index
     cand = jnp.take(codes, jnp.minimum(ids, n - 1), axis=0)  # (Q, R, M) u8
-    lut = _adc_lut(qp, PQCodebook(cb_cent, metric))
+    qa = qp if rot is None else qp @ rot  # OPQ: score in rotated space
+    lut = _adc_lut(qa, PQCodebook(cb_cent, metric))
     approx = _pq_score(cand, lut)
     approx = jnp.where(ids >= n, jnp.inf, approx)
     return _pq_finish(qf, approx, ids, rows, metric=metric, k=k,
@@ -387,6 +431,7 @@ def _ivf_pq_residual_core(
     codes: jax.Array,
     cb_cent: jax.Array,
     rows: Optional[jax.Array],
+    rot: Optional[jax.Array] = None,
     *,
     metric: str,
     k: int,
@@ -415,11 +460,14 @@ def _ivf_pq_residual_core(
                     axis=0)                       # (Q*P, C, M) u8
     if metric == "euclidean":
         qr = qp[:, None, :] - jnp.take(centroids, probe, axis=0)  # (Q,P,D)
+        if rot is not None:
+            qr = qr @ rot  # OPQ: residual space is rotated
         lut = _adc_lut(qr.reshape(qn * nprobe, -1),
                        PQCodebook(cb_cent, "euclidean"))  # (Q*P, M, K)
         approx = _pq_score(cand, lut).reshape(qn, nprobe, -1)
     else:
-        lut = _adc_lut(qp, PQCodebook(cb_cent, "cosine"))  # (Q, M, K) -dot
+        qa = qp if rot is None else qp @ rot  # dot(q,r) == dot(qR, rR)
+        lut = _adc_lut(qa, PQCodebook(cb_cent, "cosine"))  # (Q, M, K) -dot
         lutp = jnp.broadcast_to(
             lut[:, None], (qn, nprobe, *lut.shape[1:])
         ).reshape(qn * nprobe, *lut.shape[1:])
@@ -479,8 +527,8 @@ def ivf_pq_search(
     core = _ivf_pq_residual_core if cb.residual else _ivf_pq_core
     outs = [
         core(queries[i: i + qc], index.centroids, index.row_ids,
-             codes, cb.centroids, rows, metric=cb.metric, k=k,
-             nprobe=nprobe, rerank=rerank)
+             codes, cb.centroids, rows, cb.rotation, metric=cb.metric,
+             k=k, nprobe=nprobe, rerank=rerank)
         for i in range(0, nq, qc)
     ]
     if len(outs) == 1:

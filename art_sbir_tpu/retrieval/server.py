@@ -112,6 +112,7 @@ class RetrievalEngine:
         pq_m: Optional[int] = None,
         pq_rerank: str = "bfloat16",
         pq_rerank_factor: int = 64,
+        pq_opq_iters: int = 0,
         index_cache: Optional[Path | str] = None,
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`,
@@ -322,11 +323,14 @@ class RetrievalEngine:
                 if (cand_cb.residual and cand_cb.metric == metric
                         and cand_cb.m == int(pq_m)
                         and cand_cb.k_codes == min(256, n0)
-                        and cand_codes.shape == (n0, int(pq_m))):
+                        and cand_codes.shape == (n0, int(pq_m))
+                        and ((cand_cb.rotation is not None)
+                             == bool(pq_opq_iters))):
                     self._pq = (cand_cb, cand_codes)
             if self._pq is None:
                 self._pq = build_ivf_pq(self.gallery, self._ivf,
-                                        int(pq_m), k_codes=min(256, n0))
+                                        int(pq_m), k_codes=min(256, n0),
+                                        opq_iters=int(pq_opq_iters))
                 if cache_dir is not None:
                     save_pq(self._pq[0], self._pq[1],
                             cache_dir / "pq.npz")

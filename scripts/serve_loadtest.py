@@ -73,6 +73,7 @@ def main() -> None:
     p.add_argument("--pq_rerank", default="bfloat16",
                    choices=["none", "float32", "bfloat16"])
     p.add_argument("--pq_rerank_factor", type=int, default=64)
+    p.add_argument("--pq_opq_iters", type=int, default=0)
     p.add_argument("--index_cache", default=None,
                    help="directory persisting the IVF/PQ index across "
                         "restarts (immutable --ivf_nlist only)")
@@ -129,6 +130,7 @@ def main() -> None:
         ivf_nlist=args.ivf_nlist, ivf_nprobe=args.ivf_nprobe,
         pq_m=args.pq_m, pq_rerank=args.pq_rerank,
         pq_rerank_factor=args.pq_rerank_factor,
+        pq_opq_iters=args.pq_opq_iters,
         index_cache=args.index_cache)
     if engine._ivf is not None:
         log(f"IVF index: {engine._ivf.stats()}")

@@ -832,6 +832,15 @@ def test_engine_ivf_pq_routes(tiny_engine):
     with pytest.raises(ValueError, match="dropped"):
         pure.save()
 
+    opq = RetrievalEngine(  # OPQ variant: rotation threads through
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8,
+        ivf_nlist=4, ivf_nprobe=4, pq_m=4, pq_rerank_factor=1000,
+        pq_rerank="float32", pq_opq_iters=2)
+    assert opq._pq[0].rotation is not None
+    v2, i2 = opq.search_arrays(imgs[[2, 13, 7]])
+    np.testing.assert_array_equal(i0, i2)
+
     with pytest.raises(ValueError, match="requires ivf_nlist"):
         RetrievalEngine(eng._forward, gal, eng.image_paths,
                         image_size=eng.image_size, pq_m=4)
