@@ -30,6 +30,8 @@ p.add_argument("--n", type=int, default=600_000, help="part-A rows")
 p.add_argument("--big_n", type=int, default=3_000_000, help="part-B rows")
 p.add_argument("--d", type=int, default=1024)
 p.add_argument("--m", type=int, default=64, help="PQ codes/row")
+p.add_argument("--opq", type=int, default=0,
+               help="OPQ iterations for the residual build (part A)")
 p.add_argument("--rounds", type=int, default=6)
 p.add_argument("--cpu", action="store_true", help="smoke on CPU backend")
 args = p.parse_args()
@@ -90,9 +92,10 @@ if args.part in ("a", "both"):
     bench.log(f"A: raw PQ train+encode {time.perf_counter() - t0:.1f}s "
               f"(m={M}, {M} B/row)")
     t0 = time.perf_counter()
-    cb, codes = build_ivf_pq(g, index, M)
+    cb, codes = build_ivf_pq(g, index, M, opq_iters=args.opq)
     _ = np.asarray(codes[0, 0])
-    bench.log(f"A: residual IVF-PQ build {time.perf_counter() - t0:.1f}s")
+    bench.log(f"A: residual IVF-PQ build {time.perf_counter() - t0:.1f}s"
+              f"{f' (opq_iters={args.opq})' if args.opq else ''}")
     gb16 = g.astype(jnp.bfloat16)
 
     B_MAX = 32
