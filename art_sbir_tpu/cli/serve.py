@@ -289,7 +289,11 @@ def main(argv=None):
                         "centroid, removals tombstone), single-device "
                         "only")
     p.add_argument("--ivf_nprobe", type=int, default=8,
-                   help="clusters probed per query in --ivf_nlist mode")
+                   help="clusters probed per query in --ivf_nlist mode; "
+                        "0 = auto-tune at startup (smallest power of two "
+                        "reaching 95%% recall@k_max on perturbed gallery "
+                        "rows — an optimistic proxy; prefer a measured "
+                        "nprobe when held-out queries exist)")
     p.add_argument("--pq_m", type=int, default=None,
                    help="IVF-PQ (ops/pq.py; requires --ivf_nlist): "
                         "product-quantize the gallery to this many uint8 "

@@ -258,6 +258,43 @@ def build_ivf(
     return IVFIndex(cent, jnp.asarray(table), counts, metric)
 
 
+def tune_nprobe(
+    index: IVFIndex,
+    gallery: jax.Array,
+    queries: jax.Array,
+    *,
+    k: int = 10,
+    target_recall: float = 0.95,
+) -> int:
+    """Smallest power-of-two ``nprobe`` whose recall@k on ``queries``
+    (vs the exact path over the same gallery) meets ``target_recall``
+    — falls back to ``nlist`` (exact) if none does, so the tuned index
+    can never silently under-deliver on the tuning set. The right
+    ``queries`` are a held-out sample of REAL queries; callers without
+    one (the serving engine's auto mode) use perturbed gallery rows as
+    a documented optimistic proxy."""
+    from art_sbir_tpu.ops.distance import retrieve_chunked
+    from art_sbir_tpu.ops.quant import topk_overlap
+
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got "
+                         f"{target_recall}")
+    q = jnp.asarray(queries, jnp.float32)
+    k = min(k, int(gallery.shape[0]))
+    _, _, exact = retrieve_chunked(q, jnp.asarray(gallery, jnp.float32),
+                                   jnp.zeros(q.shape[0], jnp.int32), k=k,
+                                   metric=index.metric,
+                                   chunk=max(int(q.shape[0]), 1))
+    exact = np.asarray(exact)
+    nprobe = 1
+    while nprobe < index.nlist:
+        _, ids = ivf_search(q, index, gallery, nprobe=nprobe, k=k)
+        if topk_overlap(ids, exact) >= target_recall:
+            return nprobe
+        nprobe *= 2
+    return index.nlist
+
+
 def save_ivf(index: IVFIndex, path) -> None:
     """Persist an index as one ``.npz`` (centroids, table, counts,
     metric) so serving restarts skip the k-means build — the build is

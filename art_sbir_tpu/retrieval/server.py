@@ -296,6 +296,25 @@ class RetrievalEngine:
                     if cache_dir is not None:
                         save_ivf(self._ivf, cache_dir / "ivf.npz")
             self.use_fused = False  # the probe replaces both scan routes
+            if self._ivf_nprobe == 0:
+                # auto-tune: smallest nprobe reaching 95% recall@k on a
+                # PROXY query set (perturbed gallery rows — optimistic
+                # vs real out-of-distribution queries; pass a measured
+                # nprobe when a held-out query set exists)
+                from art_sbir_tpu.ops.ivf import OnlineIVF, tune_nprobe
+
+                idx = (self._ivf.as_index()
+                       if isinstance(self._ivf, OnlineIVF) else self._ivf)
+                g_live = (self.gallery[:n0] if capacity is not None
+                          else self.gallery)
+                prng = np.random.default_rng(0)
+                sel = prng.integers(0, n0, min(256, n0))
+                rows = np.asarray(jnp.take(g_live, jnp.asarray(sel),
+                                           axis=0), np.float32)
+                proxy = rows + 0.05 * rows.std() * prng.standard_normal(
+                    rows.shape).astype(np.float32)
+                self._ivf_nprobe = tune_nprobe(
+                    idx, g_live, jnp.asarray(proxy), k=self.k_max)
 
         self._pq = None
         if pq_m is not None:

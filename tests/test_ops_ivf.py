@@ -320,3 +320,66 @@ def test_online_ivf_padded_add_and_validation():
     with pytest.raises(ValueError, match=">= 1 initial"):
         build_ivf_online(jnp.asarray(buf), 0, 2)
     oiv.add([], jnp.zeros((0, d)))  # no-op
+
+
+def test_tune_nprobe_meets_target_and_validates():
+    """tune_nprobe returns the smallest power-of-two nprobe whose
+    recall@k on the tuning queries meets the target; the returned value
+    must actually deliver that recall when re-measured."""
+    from art_sbir_tpu.ops.ivf import tune_nprobe
+
+    rng = np.random.default_rng(7)
+    d = 24
+    centers = rng.standard_normal((16, d)) * 4.0
+    g, _ = _blobs(rng, 64, centers, d, scale=0.3)
+    q = g[rng.integers(0, len(g), 32)] + 0.05 * rng.standard_normal(
+        (32, d)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 16, iters=10, seed=0)
+    tuned = tune_nprobe(idx, jnp.asarray(g), jnp.asarray(q), k=10,
+                        target_recall=0.95)
+    assert 1 <= tuned <= idx.nlist
+    # on well-separated blobs the probe is genuinely sublinear
+    assert tuned <= 4
+    _, _, exact_ids = retrieve(jnp.asarray(q), jnp.asarray(g),
+                               jnp.zeros(32, jnp.int32), k=10)
+    _, ids = ivf_search(jnp.asarray(q), idx, jnp.asarray(g),
+                        nprobe=tuned, k=10)
+    assert topk_overlap(ids, exact_ids) >= 0.95
+    # target 1.0 is always satisfiable (full probe == exact path)
+    full = tune_nprobe(idx, jnp.asarray(g), jnp.asarray(q), k=10,
+                       target_recall=1.0)
+    assert full <= idx.nlist
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="target_recall"):
+            tune_nprobe(idx, jnp.asarray(g), jnp.asarray(q),
+                        target_recall=bad)
+
+
+def test_tune_nprobe_cosine_uses_cosine_oracle():
+    """A cosine index must tune against the COSINE exact path: rows are
+    direction-clustered at wildly mixed norms, so the euclidean and
+    cosine top-k disagree; tuning against the wrong oracle would chase
+    unreachable euclidean neighbors all the way to nprobe == nlist."""
+    from art_sbir_tpu.ops.ivf import tune_nprobe
+
+    rng = np.random.default_rng(11)
+    d = 16
+    dirs = rng.standard_normal((8, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    for c in dirs:
+        u = c + 0.05 * rng.standard_normal((40, d))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        rows.append(u * rng.uniform(0.1, 10.0, (40, 1)))
+    g = np.concatenate(rows).astype(np.float32)
+    q = (dirs + 0.02 * rng.standard_normal((8, d))).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 8, metric="cosine", iters=10, seed=0)
+    tuned = tune_nprobe(idx, jnp.asarray(g), jnp.asarray(q), k=10,
+                        target_recall=0.95)
+    assert tuned <= 2  # one direction blob ~= one spherical cluster
+    _, _, exact_ids = retrieve(jnp.asarray(q), jnp.asarray(g),
+                               jnp.zeros(8, jnp.int32), k=10,
+                               metric="cosine")
+    _, ids = ivf_search(jnp.asarray(q), idx, jnp.asarray(g),
+                        nprobe=tuned, k=10)
+    assert topk_overlap(ids, exact_ids) >= 0.95

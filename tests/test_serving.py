@@ -803,6 +803,32 @@ def test_engine_ivf_auto_nlist(tiny_engine):
     assert out["paths"][0] == "gallery/img_4.png"
 
 
+def test_engine_ivf_auto_nprobe(tiny_engine):
+    """ivf_nprobe=0 auto-tunes at startup (ops/ivf.py::tune_nprobe on a
+    perturbed-gallery proxy): resolves to a concrete nprobe in
+    [1, nlist], and the tuned engine still self-retrieves. Covers both
+    the immutable and the online (capacity) IVF branches."""
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    gal = np.asarray(eng.gallery)
+    auto = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8,
+        ivf_nlist=4, ivf_nprobe=0)
+    assert 1 <= auto._ivf_nprobe <= auto._ivf.nlist
+    out = auto.search(_png_bytes(imgs[11]))
+    assert out["paths"][0] == "gallery/img_11.png"
+
+    online = RetrievalEngine(
+        eng._forward, gal, list(eng.image_paths), metric="euclidean",
+        image_size=eng.image_size, k_max=5, max_batch=8, capacity=24,
+        ivf_nlist=4, ivf_nprobe=0)
+    assert 1 <= online._ivf_nprobe <= online._ivf.nlist
+    out = online.search(_png_bytes(imgs[6]))
+    assert out["paths"][0] == "gallery/img_6.png"
+
+
 def test_engine_ivf_pq_routes(tiny_engine):
     """pq_m + ivf_nlist (IVF-PQ): full probe + rerank covering the whole
     candidate set matches the exact engine; pq_rerank='none' drops the
