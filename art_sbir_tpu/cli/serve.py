@@ -286,8 +286,10 @@ def main(argv=None):
                         "approximate — recall set by nprobe, scored "
                         "distances exact; composes with --capacity "
                         "(online IVF: adds assign to the nearest "
-                        "centroid, removals tombstone), single-device "
-                        "only")
+                        "centroid, removals tombstone) and with "
+                        "--n_devices (sharded IVF: one local index per "
+                        "gallery shard, O(B*k) ICI merge; immutable "
+                        "only)")
     p.add_argument("--ivf_nprobe", type=int, default=8,
                    help="clusters probed per query in --ivf_nlist mode; "
                         "0 = auto-tune at startup (smallest power of two "

@@ -259,12 +259,13 @@ def build_ivf(
 
 
 def tune_nprobe(
-    index: IVFIndex,
+    index,
     gallery: jax.Array,
     queries: jax.Array,
     *,
     k: int = 10,
     target_recall: float = 0.95,
+    search_fn=None,
 ) -> int:
     """Smallest power-of-two ``nprobe`` whose recall@k on ``queries``
     (vs the exact path over the same gallery) meets ``target_recall``
@@ -272,13 +273,22 @@ def tune_nprobe(
     can never silently under-deliver on the tuning set. The right
     ``queries`` are a held-out sample of REAL queries; callers without
     one (the serving engine's auto mode) use perturbed gallery rows as
-    a documented optimistic proxy."""
+    a documented optimistic proxy.
+
+    ``index`` is any object with ``.nlist``/``.metric``
+    (:class:`IVFIndex` or :class:`ShardedIVF`). ``search_fn(q, nprobe,
+    k) -> (vals, ids)`` overrides the probe being tuned (the sharded
+    engine passes :func:`ivf_search_sharded`); default is the
+    single-device :func:`ivf_search` over ``index``."""
     from art_sbir_tpu.ops.distance import retrieve_chunked
     from art_sbir_tpu.ops.quant import topk_overlap
 
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got "
                          f"{target_recall}")
+    if search_fn is None:
+        def search_fn(q, nprobe, k):
+            return ivf_search(q, index, gallery, nprobe=nprobe, k=k)
     q = jnp.asarray(queries, jnp.float32)
     k = min(k, int(gallery.shape[0]))
     _, _, exact = retrieve_chunked(q, jnp.asarray(gallery, jnp.float32),
@@ -288,7 +298,7 @@ def tune_nprobe(
     exact = np.asarray(exact)
     nprobe = 1
     while nprobe < index.nlist:
-        _, ids = ivf_search(q, index, gallery, nprobe=nprobe, k=k)
+        _, ids = search_fn(q, nprobe, k)
         if topk_overlap(ids, exact) >= target_recall:
             return nprobe
         nprobe *= 2
@@ -641,3 +651,204 @@ def build_ivf_online(
                     **kw)
     return OnlineIVF(idx, n_valid, capacity,
                      spill_capacity=spill_capacity, slack=slack)
+
+
+# --------------------------------------------------------------- sharded IVF
+
+class ShardedIVF(NamedTuple):
+    """Row-sharded IVF: one INDEPENDENT local index per gallery shard.
+
+    The TPU-native multi-chip layout (same recipe as
+    :func:`art_sbir_tpu.ops.quant.retrieve_quantized_sharded`): shard
+    ``s`` owns contiguous gallery rows ``[s*n_local, (s+1)*n_local)`` and
+    clusters THEM with local row ids, so the probe's gathers never cross
+    chips — each chip probes its own ``nprobe`` nearest local clusters,
+    ranks candidates exactly, and only (Q, k) partials ride ICI into the
+    (value, index) merge. Per-shard clustering also means ``nprobe``
+    clusters are probed on EVERY shard (S*nprobe total), so recall at a
+    given nprobe is >= the single-device index's on the same data.
+
+    ``row_ids`` pad sentinel is ``n_local`` (one past a shard's rows).
+    ``counts`` is a (S, C) host copy. Leading axes of ``centroids`` /
+    ``row_ids`` shard over the mesh's first axis.
+    """
+
+    centroids: jax.Array  # (S, C, D) f32
+    row_ids: jax.Array    # (S, C, Cpad) int32, pad slots = n_local
+    counts: np.ndarray    # (S, C) int64 host copy
+    metric: str
+    n_local: int
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def nlist(self) -> int:
+        """Clusters PER SHARD (the nprobe upper bound)."""
+        return int(self.centroids.shape[1])
+
+    @property
+    def pad_width(self) -> int:
+        return int(self.row_ids.shape[2])
+
+    def stats(self) -> dict:
+        """Aggregate cluster-balance diagnostics across shards (same
+        fields as :meth:`IVFIndex.stats`, min/max over ALL shard-local
+        clusters) plus the sharding layout."""
+        c = self.counts
+        mean = float(c.mean()) if c.size else 0.0
+        return {
+            "n_shards": self.n_shards,
+            "rows_per_shard": self.n_local,
+            "nlist": self.nlist,
+            "pad_width": self.pad_width,
+            "min_count": int(c.min()) if c.size else 0,
+            "max_count": int(c.max()) if c.size else 0,
+            "mean_count": mean,
+            "empty_clusters": int((c == 0).sum()),
+            "pad_overhead": (self.pad_width / mean) if mean else 0.0,
+        }
+
+
+def build_ivf_sharded(
+    gallery: jax.Array,
+    n_shards: int,
+    n_clusters: Optional[int] = None,
+    *,
+    metric: str = "euclidean",
+    iters: int = 10,
+    seed: int = 0,
+    sample: int = 131072,
+    chunk: int = 16384,
+) -> ShardedIVF:
+    """Cluster each contiguous N/n_shards row block into its own local
+    IVF (:func:`build_ivf` per block, seed offset by shard so identical
+    blocks don't share degenerate inits) and stack the per-shard tables
+    padded to one common width. ``n_clusters`` (default ~2*sqrt(n_local))
+    is PER SHARD and identical across shards (static shapes under
+    shard_map)."""
+    n = int(gallery.shape[0])
+    if n_shards < 1 or n % n_shards:
+        raise ValueError(f"gallery rows ({n}) must divide n_shards "
+                         f"({n_shards}); pad the gallery")
+    n_local = n // n_shards
+    locals_ = [
+        build_ivf(gallery[s * n_local: (s + 1) * n_local], n_clusters,
+                  metric=metric, iters=iters, seed=seed + s,
+                  sample=sample, chunk=chunk)
+        for s in range(n_shards)
+    ]
+    c = locals_[0].nlist
+    pad = max(ix.pad_width for ix in locals_)
+    tables = np.full((n_shards, c, pad), n_local, np.int32)
+    for s, ix in enumerate(locals_):
+        t = np.asarray(ix.row_ids)
+        tables[s, :, : t.shape[1]] = t
+    return ShardedIVF(
+        jnp.stack([ix.centroids for ix in locals_]),
+        jnp.asarray(tables),
+        np.stack([ix.counts for ix in locals_]),
+        metric, n_local)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "ax", "n_local", "metric", "k", "nprobe"))
+def _ivf_sharded_jit(queries, centroids, row_ids, gallery, *,
+                     mesh, ax, n_local, metric, k, nprobe):
+    """One program: per-shard probe + exact local rank + (value, index)
+    lexsort merge — the same global tie order (ascending gallery index
+    within equal values) as the exact path and the single-device probe."""
+    from jax.sharding import PartitionSpec as P
+
+    try:  # jax >= 0.5 public namespace
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = _sm
+
+    nq = queries.shape[0]
+    n_dev = int(mesh.shape[ax])
+    n = n_dev * n_local
+
+    def worker(q, cent_s, tab_s, gal_s):
+        vals, ids = _ivf_core(q, cent_s[0], tab_s[0], gal_s, None, None,
+                              metric=metric, k=k, nprobe=nprobe)
+        off = jax.lax.axis_index(ax) * n_local
+        gid = jnp.where(ids >= n_local, n, ids + off)  # pads -> global N
+        return vals[None], gid[None]
+
+    pv, pi = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(ax, None, None), P(ax, None, None), P(ax, None)),
+        out_specs=(P(ax), P(ax)),
+    )(queries, centroids, row_ids, gallery)
+
+    vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
+    idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
+    order = jnp.lexsort((idx_all, vals_all), axis=-1)[:, :k]
+    return (jnp.take_along_axis(vals_all, order, axis=-1),
+            jnp.take_along_axis(idx_all, order, axis=-1))
+
+
+def ivf_search_sharded(
+    queries: jax.Array,
+    index: ShardedIVF,
+    gallery: jax.Array,
+    mesh: jax.sharding.Mesh,
+    *,
+    axis_name: Optional[str] = None,
+    nprobe: int = 8,
+    k: int = 10,
+    row_budget_bytes: int = 1 << 30,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-chip approximate top-k -> (values, GLOBAL indices).
+
+    Every shard probes its ``nprobe`` nearest local clusters, scores the
+    gathered candidates exactly (f32 torch-parity row forms), and ships
+    its (Q, k) partial; the merge lexsorts by (value, global index).
+    With ``nprobe == index.nlist`` every shard scans all of its rows, so
+    the result is IDENTICAL to the exact path (values, indices, tie
+    order) — the regression contract. Slots beyond a shard's candidates
+    rank at ``+inf`` with index ``N``; callers that can see them must
+    filter non-finite values (the serving engine does).
+
+    ``row_budget_bytes`` bounds PER-DEVICE gather memory (each shard
+    gathers (Qc, nprobe*Cpad, D) f32 locally); queries are chunked on
+    host above that.
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    ax = axis_name or mesh.axis_names[0]
+    n_dev = int(mesh.shape[ax])
+    if n_dev != index.n_shards:
+        raise ValueError(f"index built for {index.n_shards} shards, mesh "
+                         f"'{ax}' axis has {n_dev}")
+    n = int(gallery.shape[0])
+    if n != n_dev * index.n_local:
+        raise ValueError(f"gallery rows ({n}) != n_shards*n_local "
+                         f"({n_dev}*{index.n_local})")
+    if k > index.n_local:
+        raise ValueError(f"k={k} exceeds the per-shard gallery size "
+                         f"{index.n_local}; shrink the mesh axis or pad "
+                         "the gallery")
+    nprobe = min(nprobe, index.nlist)
+    r = nprobe * index.pad_width
+    k = min(k, r, n)
+    d = int(gallery.shape[1])
+    qc = max(1, int(row_budget_bytes // max(r * d * 4, 1)))
+    nq = queries.shape[0]
+    if nq == 0:
+        return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32))
+    outs = [
+        _ivf_sharded_jit(jnp.asarray(queries[i: i + qc], jnp.float32),
+                         index.centroids, index.row_ids, gallery,
+                         mesh=mesh, ax=ax, n_local=index.n_local,
+                         metric=index.metric, k=k, nprobe=nprobe)
+        for i in range(0, nq, qc)
+    ]
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]))

@@ -162,8 +162,13 @@ class RetrievalEngine:
         their nearest centroid, removals tombstone through the live
         mask, cluster overflow spills to an always-scanned buffer —
         :class:`art_sbir_tpu.ops.ivf.OnlineIVF`; the initial gallery
-        must be non-empty to cluster). Single-device only (no ``mesh``/
-        ``quantize``).
+        must be non-empty to cluster) and with ``mesh`` (sharded IVF:
+        one independent local index per gallery shard, per-shard probes
+        with shard-local gathers, O(B*k) merge over ICI —
+        :class:`art_sbir_tpu.ops.ivf.ShardedIVF`; immutable only, no
+        ``capacity``/``index_cache``). ``ivf_nprobe=0`` auto-tunes at
+        startup (smallest power-of-two nprobe reaching 95% recall@k_max
+        on a perturbed-gallery proxy). No ``quantize``.
 
         ``pq_m``: IVF-PQ (:mod:`art_sbir_tpu.ops.pq`) — requires
         ``ivf_nlist``; the gallery is product-quantized to ``pq_m``
@@ -258,10 +263,33 @@ class RetrievalEngine:
                              "invalidate the cache)")
         ivf_cached = False  # a cached PQ must pair with its cached IVF
         if ivf_nlist is not None:
-            if mesh is not None or quantize:
-                raise ValueError("ivf_nlist does not compose with mesh=/"
-                                 "quantize= yet — pick one scan strategy")
-            if capacity is not None:
+            if quantize:
+                raise ValueError("ivf_nlist does not compose with "
+                                 "quantize= — pick one scan strategy")
+            if mesh is not None:
+                # SHARDED IVF: one independent local index per gallery
+                # shard (ops/ivf.py::ShardedIVF) — per-shard probes,
+                # shard-local gathers, O(Q*k) merge over ICI. Immutable
+                # only (online per-shard tables are a round-4 item).
+                if capacity is not None:
+                    raise ValueError("online IVF (capacity=) does not "
+                                     "compose with mesh= yet")
+                if index_cache is not None:
+                    raise ValueError("index_cache does not persist "
+                                     "sharded IVF indexes yet")
+                from art_sbir_tpu.ops.ivf import build_ivf_sharded
+
+                ax0 = mesh.axis_names[0]
+                n_shards = int(mesh.shape[ax0])
+                if self.k_max > rows // n_shards:
+                    raise ValueError(
+                        f"k_max={self.k_max} exceeds the per-shard "
+                        f"gallery size {rows // n_shards} for sharded "
+                        "IVF serving")
+                self._ivf = build_ivf_sharded(
+                    self.gallery, n_shards, int(ivf_nlist) or None,
+                    metric=metric)
+            elif capacity is not None:
                 # ONLINE IVF: cluster the initial live rows; adds assign
                 # to the nearest centroid, removals tombstone via the
                 # live mask, overflow spills (ops/ivf.py::OnlineIVF)
@@ -301,12 +329,19 @@ class RetrievalEngine:
                 # PROXY query set (perturbed gallery rows — optimistic
                 # vs real out-of-distribution queries; pass a measured
                 # nprobe when a held-out query set exists)
-                from art_sbir_tpu.ops.ivf import OnlineIVF, tune_nprobe
+                from art_sbir_tpu.ops.ivf import (OnlineIVF,
+                                                  ivf_search_sharded,
+                                                  tune_nprobe)
 
                 idx = (self._ivf.as_index()
                        if isinstance(self._ivf, OnlineIVF) else self._ivf)
                 g_live = (self.gallery[:n0] if capacity is not None
                           else self.gallery)
+                search_fn = None
+                if mesh is not None:
+                    def search_fn(q, nprobe, k, _idx=idx):
+                        return ivf_search_sharded(q, _idx, self.gallery,
+                                                  mesh, nprobe=nprobe, k=k)
                 prng = np.random.default_rng(0)
                 sel = prng.integers(0, n0, min(256, n0))
                 rows = np.asarray(jnp.take(g_live, jnp.asarray(sel),
@@ -314,7 +349,8 @@ class RetrievalEngine:
                 proxy = rows + 0.05 * rows.std() * prng.standard_normal(
                     rows.shape).astype(np.float32)
                 self._ivf_nprobe = tune_nprobe(
-                    idx, g_live, jnp.asarray(proxy), k=self.k_max)
+                    idx, g_live, jnp.asarray(proxy), k=self.k_max,
+                    search_fn=search_fn)
 
         self._pq = None
         if pq_m is not None:
@@ -468,10 +504,15 @@ class RetrievalEngine:
                 k=self.k_max, rows=gallery,
                 rerank_factor=self._rerank_factor)
         elif ivf is not None:
-            from art_sbir_tpu.ops.ivf import ivf_search
+            from art_sbir_tpu.ops.ivf import ivf_search, ivf_search_sharded
 
             emb = self._embed(jnp.asarray(images_u8))
-            if self.capacity is not None:
+            if self.mesh is not None:
+                # per-shard probes, shard-local gathers, O(B*k) ICI merge
+                vals, idx = ivf_search_sharded(emb, ivf, gallery, self.mesh,
+                                               nprobe=self._ivf_nprobe,
+                                               k=self.k_max)
+            elif self.capacity is not None:
                 # the live mask gates tombstones + the add publish race
                 vals, idx = ivf_search(emb, ivf, gallery,
                                        nprobe=self._ivf_nprobe,

@@ -383,3 +383,115 @@ def test_tune_nprobe_cosine_uses_cosine_oracle():
     _, ids = ivf_search(jnp.asarray(q), idx, jnp.asarray(g),
                         nprobe=tuned, k=10)
     assert topk_overlap(ids, exact_ids) >= 0.95
+
+
+def _mesh8():
+    import jax
+
+    from art_sbir_tpu.parallel.mesh import MeshSpec
+
+    return MeshSpec(data=len(jax.devices())).build()
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_sharded_full_probe_matches_exact_path(metric):
+    """nprobe == nlist: every shard scans all its rows, so the lexsort
+    merge must reproduce the exact path bit-for-bit on indices — values,
+    indices, and the ascending-gallery-index tie order."""
+    from art_sbir_tpu.ops.ivf import build_ivf_sharded, ivf_search_sharded
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(4)
+    g = rng.standard_normal((64 * s, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    sidx = build_ivf_sharded(jnp.asarray(g), s, 4, metric=metric, iters=5)
+    assert sidx.n_shards == s and sidx.nlist == 4
+    vals, ids = ivf_search_sharded(jnp.asarray(q), sidx, jnp.asarray(g),
+                                   mesh, nprobe=sidx.nlist, k=7)
+    _, ev, ei = retrieve(jnp.asarray(q), jnp.asarray(g),
+                         jnp.zeros(16, jnp.int32), k=7, metric=metric)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ei))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ev),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_tie_order_across_shards():
+    """Duplicate rows living on DIFFERENT shards must still tie-break by
+    global gallery index after the merge."""
+    from art_sbir_tpu.ops.ivf import build_ivf_sharded, ivf_search_sharded
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((16, 8)).astype(np.float32)
+    g = np.concatenate([base] * s)  # row i duplicated on every shard
+    q = base[:4] + 0.01 * rng.standard_normal((4, 8)).astype(np.float32)
+    sidx = build_ivf_sharded(jnp.asarray(g), s, 2, iters=4)
+    vals, ids = ivf_search_sharded(jnp.asarray(q), sidx, jnp.asarray(g),
+                                   mesh, nprobe=2, k=s)
+    _, ev, ei = retrieve(jnp.asarray(q), jnp.asarray(g),
+                         jnp.zeros(4, jnp.int32), k=s)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ei))
+
+
+def test_sharded_recall_and_monotone_in_nprobe():
+    from art_sbir_tpu.ops.ivf import build_ivf_sharded, ivf_search_sharded
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(6)
+    d = 24
+    centers = rng.standard_normal((16, d)) * 4.0
+    g, _ = _blobs(rng, 16 * s, centers, d, scale=0.3)
+    q = g[rng.integers(0, len(g), 32)] + 0.05 * rng.standard_normal(
+        (32, d)).astype(np.float32)
+    sidx = build_ivf_sharded(jnp.asarray(g), s, 8, iters=8)
+    _, _, exact_ids = retrieve(jnp.asarray(q), jnp.asarray(g),
+                               jnp.zeros(32, jnp.int32), k=10)
+    recalls = []
+    for nprobe in (1, 2, 8):
+        _, ids = ivf_search_sharded(jnp.asarray(q), sidx, jnp.asarray(g),
+                                    mesh, nprobe=nprobe, k=10)
+        recalls.append(topk_overlap(ids, exact_ids))
+    assert recalls[0] > 0.8  # per-shard probing: s*nprobe clusters total
+    assert recalls[-1] == 1.0
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
+def test_sharded_validation_and_edges():
+    from art_sbir_tpu.ops.ivf import (build_ivf_sharded, ivf_search_sharded,
+                                      tune_nprobe)
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(8)
+    g = rng.standard_normal((16 * s, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="divide"):
+        build_ivf_sharded(jnp.asarray(g[:-1]), s, 2)
+    sidx = build_ivf_sharded(jnp.asarray(g), s, 2, iters=3)
+    q = jnp.asarray(g[:3])
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_search_sharded(q, sidx, jnp.asarray(g), mesh, nprobe=0)
+    with pytest.raises(ValueError, match="exceeds the per-shard"):
+        ivf_search_sharded(q, sidx, jnp.asarray(g), mesh, k=17)
+    with pytest.raises(ValueError, match="shards"):
+        ivf_search_sharded(q, sidx, jnp.asarray(g[: 16 * s // 2]),
+                           mesh, k=2)
+    # empty query batch
+    v, i = ivf_search_sharded(jnp.zeros((0, 8)), sidx, jnp.asarray(g),
+                              mesh, k=3)
+    assert v.shape == (0, 3) and i.shape == (0, 3)
+    # host query chunking (tiny row budget) == one-shot
+    v1, i1 = ivf_search_sharded(q, sidx, jnp.asarray(g), mesh, nprobe=2,
+                                k=5)
+    v2, i2 = ivf_search_sharded(q, sidx, jnp.asarray(g), mesh, nprobe=2,
+                                k=5, row_budget_bytes=1)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    # tune_nprobe drives the sharded probe through search_fn
+    tuned = tune_nprobe(
+        sidx, jnp.asarray(g), q, k=5,
+        search_fn=lambda qq, np_, kk: ivf_search_sharded(
+            qq, sidx, jnp.asarray(g), mesh, nprobe=np_, k=kk))
+    assert 1 <= tuned <= sidx.nlist

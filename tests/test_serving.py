@@ -829,6 +829,71 @@ def test_engine_ivf_auto_nprobe(tiny_engine):
     assert out["paths"][0] == "gallery/img_6.png"
 
 
+def test_engine_sharded_ivf_route(tiny_engine):
+    """mesh + ivf_nlist: one local index per gallery shard
+    (ops/ivf.py::ShardedIVF); full probe matches the exact engine,
+    auto-nprobe composes, invalid compositions raise."""
+    from art_sbir_tpu.ops.ivf import ShardedIVF
+    from art_sbir_tpu.parallel import data_mesh
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    gal = np.asarray(eng.gallery)
+    sharded = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=2, max_batch=8, mesh=data_mesh(8),
+        ivf_nlist=2, ivf_nprobe=2)  # 2 rows/shard on the 8-device mesh
+    assert isinstance(sharded._ivf, ShardedIVF)
+    assert sharded._ivf.n_shards == 8
+    # full probe (nprobe == nlist) == exact engine
+    v0, i0 = eng.search_arrays(imgs[[3, 11, 7]])
+    v1, i1 = sharded.search_arrays(imgs[[3, 11, 7]])
+    np.testing.assert_array_equal(i0[:, :2], i1)
+    np.testing.assert_allclose(v0[:, :2], v1, rtol=1e-4, atol=2e-2)
+    out = sharded.search(_png_bytes(imgs[13]))
+    assert out["paths"][0] == "gallery/img_13.png"
+
+    # /healthz reports the sharded index stats (ShardedIVF.stats())
+    from art_sbir_tpu.cli.serve import make_handler
+    from art_sbir_tpu.retrieval.server import MicroBatcher
+
+    batcher = MicroBatcher(sharded, window_ms=0.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(sharded, batcher))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        code, health = _get(httpd.server_address[1], "/healthz")
+        assert code == 200
+        assert health["ivf"]["n_shards"] == 8
+        assert health["ivf"]["rows_per_shard"] == 2
+        assert health["ivf"]["nprobe"] == 2
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+    # auto-nprobe through the sharded probe
+    auto = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=2, max_batch=8, mesh=data_mesh(8),
+        ivf_nlist=2, ivf_nprobe=0)
+    assert 1 <= auto._ivf_nprobe <= 2
+    out = auto.search(_png_bytes(imgs[5]))
+    assert out["paths"][0] == "gallery/img_5.png"
+
+    with pytest.raises(ValueError, match="compose with mesh"):
+        RetrievalEngine(eng._forward, gal, list(eng.image_paths),
+                        image_size=eng.image_size, capacity=24,
+                        mesh=data_mesh(8), ivf_nlist=2)
+    with pytest.raises(ValueError, match="sharded IVF"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, mesh=data_mesh(8),
+                        ivf_nlist=2, index_cache="unused")
+    with pytest.raises(ValueError, match="exceeds the per-shard"):
+        RetrievalEngine(eng._forward, gal, eng.image_paths,
+                        image_size=eng.image_size, k_max=5,
+                        mesh=data_mesh(8), ivf_nlist=2)
+
+
 def test_engine_ivf_pq_routes(tiny_engine):
     """pq_m + ivf_nlist (IVF-PQ): full probe + rerank covering the whole
     candidate set matches the exact engine; pq_rerank='none' drops the
