@@ -288,8 +288,9 @@ def main(argv=None):
                         "(online IVF: adds assign to the nearest "
                         "centroid, removals tombstone) and with "
                         "--n_devices (sharded IVF: one local index per "
-                        "gallery shard, O(B*k) ICI merge; immutable "
-                        "only)")
+                        "gallery shard, O(B*k) ICI merge; with both, "
+                        "centroids are shared and each shard keeps "
+                        "mutable local tables)")
     p.add_argument("--ivf_nprobe", type=int, default=8,
                    help="clusters probed per query in --ivf_nlist mode; "
                         "0 = auto-tune at startup (smallest power of two "

@@ -754,11 +754,15 @@ def build_ivf_sharded(
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "ax", "n_local", "metric", "k", "nprobe"))
-def _ivf_sharded_jit(queries, centroids, row_ids, gallery, *,
-                     mesh, ax, n_local, metric, k, nprobe):
+def _ivf_sharded_jit(queries, centroids, row_ids, gallery, mask=None,
+                     spill=None, *, mesh, ax, n_local, metric, k, nprobe):
     """One program: per-shard probe + exact local rank + (value, index)
     lexsort merge — the same global tie order (ascending gallery index
-    within equal values) as the exact path and the single-device probe."""
+    within equal values) as the exact path and the single-device probe.
+
+    ``mask``/``spill`` are the online-index extras (sharded live mask,
+    per-shard spill buffers with LOCAL ids); ``None`` traces them away.
+    """
     from jax.sharding import PartitionSpec as P
 
     try:  # jax >= 0.5 public namespace
@@ -772,18 +776,30 @@ def _ivf_sharded_jit(queries, centroids, row_ids, gallery, *,
     n_dev = int(mesh.shape[ax])
     n = n_dev * n_local
 
-    def worker(q, cent_s, tab_s, gal_s):
-        vals, ids = _ivf_core(q, cent_s[0], tab_s[0], gal_s, None, None,
-                              metric=metric, k=k, nprobe=nprobe)
+    args = [queries, centroids, row_ids, gallery]
+    specs = [P(), P(ax, None, None), P(ax, None, None), P(ax, None)]
+    if mask is not None:
+        args.append(mask)
+        specs.append(P(ax))
+    if spill is not None:
+        args.append(spill)
+        specs.append(P(ax, None))
+
+    def worker(q, cent_s, tab_s, gal_s, *rest):
+        rest = list(rest)
+        mask_s = rest.pop(0) if mask is not None else None
+        spill_s = rest.pop(0)[0] if spill is not None else None
+        vals, ids = _ivf_core(q, cent_s[0], tab_s[0], gal_s, mask_s,
+                              spill_s, metric=metric, k=k, nprobe=nprobe)
         off = jax.lax.axis_index(ax) * n_local
         gid = jnp.where(ids >= n_local, n, ids + off)  # pads -> global N
         return vals[None], gid[None]
 
     pv, pi = shard_map(
         worker, mesh=mesh,
-        in_specs=(P(), P(ax, None, None), P(ax, None, None), P(ax, None)),
+        in_specs=tuple(specs),
         out_specs=(P(ax), P(ax)),
-    )(queries, centroids, row_ids, gallery)
+    )(*args)
 
     vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
     idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
@@ -802,6 +818,8 @@ def ivf_search_sharded(
     nprobe: int = 8,
     k: int = 10,
     row_budget_bytes: int = 1 << 30,
+    mask: Optional[jax.Array] = None,
+    spill: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Multi-chip approximate top-k -> (values, GLOBAL indices).
 
@@ -817,6 +835,12 @@ def ivf_search_sharded(
     ``row_budget_bytes`` bounds PER-DEVICE gather memory (each shard
     gathers (Qc, nprobe*Cpad, D) f32 locally); queries are chunked on
     host above that.
+
+    ``mask``: optional (N,) bool of live GLOBAL rows (row-sharded with
+    the gallery) — tombstoned candidates rank as padding. ``spill``:
+    optional (S, Sp) int32 of per-shard overflow rows with LOCAL ids
+    (pad = ``n_local``), scanned unconditionally by the owning shard —
+    :class:`ShardedOnlineIVF` state.
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
@@ -834,7 +858,8 @@ def ivf_search_sharded(
                          f"{index.n_local}; shrink the mesh axis or pad "
                          "the gallery")
     nprobe = min(nprobe, index.nlist)
-    r = nprobe * index.pad_width
+    r = nprobe * index.pad_width + (
+        int(spill.shape[1]) if spill is not None else 0)
     k = min(k, r, n)
     d = int(gallery.shape[1])
     qc = max(1, int(row_budget_bytes // max(r * d * 4, 1)))
@@ -843,8 +868,8 @@ def ivf_search_sharded(
         return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32))
     outs = [
         _ivf_sharded_jit(jnp.asarray(queries[i: i + qc], jnp.float32),
-                         index.centroids, index.row_ids, gallery,
-                         mesh=mesh, ax=ax, n_local=index.n_local,
+                         index.centroids, index.row_ids, gallery, mask,
+                         spill, mesh=mesh, ax=ax, n_local=index.n_local,
                          metric=index.metric, k=k, nprobe=nprobe)
         for i in range(0, nq, qc)
     ]
@@ -852,3 +877,184 @@ def ivf_search_sharded(
         return outs[0]
     return (jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]))
+
+
+# ------------------------------------------------------- sharded online IVF
+
+class ShardedOnlineIVF:
+    """Mutable sharded IVF over a row-sharded fixed-capacity buffer (the
+    serving engine's ``capacity= + mesh=`` mode).
+
+    Composition of :class:`OnlineIVF` and :class:`ShardedIVF` with one
+    deliberate difference from the immutable sharded build: a SINGLE
+    centroid set is trained on the initial live rows and shared by every
+    shard (shards whose slot range starts empty have nothing to fit a
+    local k-means on — and the engine fills capacity slots in global
+    order, so trailing shards DO start empty). Each shard keeps its own
+    mutable cluster table + spill buffer over ITS slot range
+    ``[s*cap_local, (s+1)*cap_local)`` with local ids — a per-shard
+    :class:`OnlineIVF` holds the bookkeeping, so an add/remove is O(1)
+    host work plus one tiny ``.at[].set`` on the owning shard's table,
+    and search gathers never cross chips.
+
+    Because the centroids are shared, probing ``nprobe`` clusters probes
+    the SAME clusters on every shard, so (spill aside) the global
+    candidate set equals the single-device :class:`OnlineIVF`'s at the
+    same nprobe — equality is tested at every nprobe in a spill-free
+    churn, and full probe == masked exact path unconditionally
+    (``tests/test_ops_ivf.py``).
+    """
+
+    def __init__(self, centroids: jax.Array, shards: Sequence[OnlineIVF],
+                 cap_local: int, metric: str):
+        self.centroids = centroids  # (C, D) shared, never retrained
+        self.shards = list(shards)
+        self.cap_local = int(cap_local)
+        self.metric = metric
+        # stacked, shard-replicated centroids for the search program
+        s, (c, d) = len(self.shards), centroids.shape
+        self._cent_stacked = jnp.broadcast_to(centroids[None], (s, c, d))
+        self._snap = None  # invalidated by every mutation
+
+    @property
+    def nlist(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shards)
+
+    @property
+    def capacity(self) -> int:
+        return self.n_shards * self.cap_local
+
+    # ------------------------------------------------------------- index ops
+
+    def add(self, row_ids: Sequence[int], rows: jax.Array) -> None:
+        """Insert buffer rows ``row_ids`` (GLOBAL slot ids) with
+        embeddings ``rows`` (B, D); rows may be padded past
+        ``len(row_ids)`` (the engine's bucketed batch). Each row is
+        routed to the shard owning its slot and assigned to its nearest
+        shared centroid there."""
+        if len(row_ids) > int(rows.shape[0]):
+            raise ValueError(f"{len(row_ids)} ids vs {rows.shape[0]} rows")
+        if not row_ids:
+            return
+        for rid in row_ids:
+            if not 0 <= int(rid) < self.capacity:
+                raise ValueError(
+                    f"row id {rid} outside [0, {self.capacity})")
+        groups: dict = {}
+        for pos, rid in enumerate(row_ids):
+            groups.setdefault(int(rid) // self.cap_local, []).append(pos)
+        b = int(rows.shape[0])
+        for s in sorted(groups):
+            poss = groups[s]
+            # keep the bucketed width so the per-shard assignment matmul
+            # compiles once per bucket, like OnlineIVF.add
+            sel = jnp.asarray(poss + [0] * (b - len(poss)), jnp.int32)
+            self.shards[s].add(
+                [int(row_ids[p]) % self.cap_local for p in poss],
+                jnp.take(rows, sel, axis=0))
+        self._snap = None
+
+    def remove(self, row_id: int) -> None:
+        rid = int(row_id)
+        s, local = divmod(rid, self.cap_local)
+        if not 0 <= s < self.n_shards:
+            raise KeyError(f"row {rid} not in the IVF index")
+        try:
+            self.shards[s].remove(local)
+        except KeyError:
+            raise KeyError(f"row {rid} not in the IVF index") from None
+        self._snap = None
+
+    # ------------------------------------------------------------- queries
+
+    def snapshot(self) -> Tuple[ShardedIVF, jax.Array]:
+        """(immutable :class:`ShardedIVF` view, (S, Sp) spill) for
+        :func:`ivf_search_sharded` — cached until the next mutation.
+        Per-shard tables repack independently, so widths are re-padded
+        to one common ``Cpad`` here (pad sentinel = ``cap_local``)."""
+        if self._snap is None:
+            pad = max(int(s.row_ids.shape[1]) for s in self.shards)
+            tabs = [
+                s.row_ids if int(s.row_ids.shape[1]) == pad else jnp.pad(
+                    s.row_ids, ((0, 0), (0, pad - int(s.row_ids.shape[1]))),
+                    constant_values=self.cap_local)
+                for s in self.shards
+            ]
+            index = ShardedIVF(
+                self._cent_stacked, jnp.stack(tabs),
+                np.stack([s._fill.copy() for s in self.shards]),
+                self.metric, self.cap_local)
+            self._snap = (index, jnp.stack([s.spill for s in self.shards]))
+        return self._snap
+
+    def search(self, queries: jax.Array, gallery: jax.Array,
+               mesh: jax.sharding.Mesh, *, nprobe: int = 8, k: int = 10,
+               mask: Optional[jax.Array] = None,
+               ) -> Tuple[jax.Array, jax.Array]:
+        index, spill = self.snapshot()
+        return ivf_search_sharded(queries, index, gallery, mesh,
+                                  nprobe=nprobe, k=k, mask=mask,
+                                  spill=spill)
+
+    def stats(self) -> dict:
+        index, _ = self.snapshot()
+        out = index.stats()
+        out.update(
+            spill_used=sum(int((s._spill_np != s.capacity).sum())
+                           for s in self.shards),
+            spill_capacity=sum(len(s._spill_np) for s in self.shards),
+            repacks=sum(s.repacks for s in self.shards),
+            live_rows=sum(len(s._loc) for s in self.shards))
+        return out
+
+
+def build_ivf_sharded_online(
+    gallery_buffer: jax.Array,
+    n_valid: int,
+    n_shards: int,
+    n_clusters: Optional[int] = None,
+    *,
+    metric: str = "euclidean",
+    spill_capacity: int = 256,
+    slack: float = 1.25,
+    **kw,
+) -> ShardedOnlineIVF:
+    """Cluster the first ``n_valid`` live rows of a row-sharded
+    fixed-capacity buffer (one shared k-means — see
+    :class:`ShardedOnlineIVF`), then split the cluster table by owning
+    shard into per-shard mutable :class:`OnlineIVF` state with local
+    slot ids. The initial live rows must occupy slots ``0..n_valid-1``
+    (the engine's layout)."""
+    capacity = int(gallery_buffer.shape[0])
+    if n_shards < 1 or capacity % n_shards:
+        raise ValueError(f"buffer capacity ({capacity}) must divide "
+                         f"n_shards ({n_shards}); pad the buffer")
+    if n_valid < 1:
+        raise ValueError("online IVF needs >= 1 initial live row to "
+                         "cluster (capacity-only cold starts should "
+                         "add rows first, then build)")
+    cap_local = capacity // n_shards
+    idx = build_ivf(gallery_buffer[:n_valid], n_clusters, metric=metric,
+                    **kw)
+    c = idx.nlist
+    # invert the global table -> per-row labels (initial rows are the
+    # contiguous prefix, so a shard's local ids are slot - s*cap_local)
+    table = np.asarray(idx.row_ids)
+    labels = np.empty(n_valid, np.int32)
+    for ci in range(c):
+        rows = table[ci][table[ci] < n_valid]
+        labels[rows] = ci
+    shards = []
+    for s in range(n_shards):
+        lo = min(s * cap_local, n_valid)
+        hi = min(lo + cap_local, n_valid)
+        tab_s, counts_s = pack_table(labels[lo:hi], c, cap_local)
+        shards.append(OnlineIVF(
+            IVFIndex(idx.centroids, jnp.asarray(tab_s), counts_s, metric),
+            cap_local, cap_local, spill_capacity=spill_capacity,
+            slack=slack))
+    return ShardedOnlineIVF(idx.centroids, shards, cap_local, metric)

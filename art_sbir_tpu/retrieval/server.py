@@ -163,10 +163,13 @@ class RetrievalEngine:
         mask, cluster overflow spills to an always-scanned buffer —
         :class:`art_sbir_tpu.ops.ivf.OnlineIVF`; the initial gallery
         must be non-empty to cluster) and with ``mesh`` (sharded IVF:
-        one independent local index per gallery shard, per-shard probes
-        with shard-local gathers, O(B*k) merge over ICI —
-        :class:`art_sbir_tpu.ops.ivf.ShardedIVF`; immutable only, no
-        ``capacity``/``index_cache``). ``ivf_nprobe=0`` auto-tunes at
+        per-shard probes with shard-local gathers, O(B*k) merge over
+        ICI — immutable galleries get one independent local index per
+        shard (:class:`art_sbir_tpu.ops.ivf.ShardedIVF`); with
+        ``capacity`` too, centroids are shared and each shard keeps
+        mutable local tables + spill
+        (:class:`art_sbir_tpu.ops.ivf.ShardedOnlineIVF`); no
+        ``index_cache``). ``ivf_nprobe=0`` auto-tunes at
         startup (smallest power-of-two nprobe reaching 95% recall@k_max
         on a perturbed-gallery proxy). No ``quantize``.
 
@@ -267,17 +270,17 @@ class RetrievalEngine:
                 raise ValueError("ivf_nlist does not compose with "
                                  "quantize= — pick one scan strategy")
             if mesh is not None:
-                # SHARDED IVF: one independent local index per gallery
-                # shard (ops/ivf.py::ShardedIVF) — per-shard probes,
-                # shard-local gathers, O(Q*k) merge over ICI. Immutable
-                # only (online per-shard tables are a round-4 item).
-                if capacity is not None:
-                    raise ValueError("online IVF (capacity=) does not "
-                                     "compose with mesh= yet")
+                # SHARDED IVF (ops/ivf.py): immutable -> one independent
+                # local index per gallery shard (ShardedIVF); online
+                # (capacity=) -> shared centroids over the initial live
+                # rows + per-shard mutable tables/spills with local slot
+                # ids (ShardedOnlineIVF). Either way: per-shard probes,
+                # shard-local gathers, O(Q*k) merge over ICI.
                 if index_cache is not None:
                     raise ValueError("index_cache does not persist "
                                      "sharded IVF indexes yet")
-                from art_sbir_tpu.ops.ivf import build_ivf_sharded
+                from art_sbir_tpu.ops.ivf import (build_ivf_sharded,
+                                                  build_ivf_sharded_online)
 
                 ax0 = mesh.axis_names[0]
                 n_shards = int(mesh.shape[ax0])
@@ -286,9 +289,17 @@ class RetrievalEngine:
                         f"k_max={self.k_max} exceeds the per-shard "
                         f"gallery size {rows // n_shards} for sharded "
                         "IVF serving")
-                self._ivf = build_ivf_sharded(
-                    self.gallery, n_shards, int(ivf_nlist) or None,
-                    metric=metric)
+                if capacity is not None:
+                    if n0 < 1:
+                        raise ValueError("online IVF needs a non-empty "
+                                         "initial gallery to cluster")
+                    self._ivf = build_ivf_sharded_online(
+                        self.gallery, n0, n_shards, int(ivf_nlist) or None,
+                        metric=metric)
+                else:
+                    self._ivf = build_ivf_sharded(
+                        self.gallery, n_shards, int(ivf_nlist) or None,
+                        metric=metric)
             elif capacity is not None:
                 # ONLINE IVF: cluster the initial live rows; adds assign
                 # to the nearest centroid, removals tombstone via the
@@ -330,18 +341,27 @@ class RetrievalEngine:
                 # vs real out-of-distribution queries; pass a measured
                 # nprobe when a held-out query set exists)
                 from art_sbir_tpu.ops.ivf import (OnlineIVF,
+                                                  ShardedOnlineIVF,
                                                   ivf_search_sharded,
                                                   tune_nprobe)
 
-                idx = (self._ivf.as_index()
-                       if isinstance(self._ivf, OnlineIVF) else self._ivf)
+                idx = self._ivf
+                if isinstance(idx, OnlineIVF):
+                    idx = idx.as_index()
+                elif isinstance(idx, ShardedOnlineIVF):
+                    idx = idx.snapshot()[0]
                 g_live = (self.gallery[:n0] if capacity is not None
                           else self.gallery)
                 search_fn = None
                 if mesh is not None:
+                    mask0 = self._mask if capacity is not None else None
+                    spill0 = (self._ivf.snapshot()[1]
+                              if capacity is not None else None)
+
                     def search_fn(q, nprobe, k, _idx=idx):
                         return ivf_search_sharded(q, _idx, self.gallery,
-                                                  mesh, nprobe=nprobe, k=k)
+                                                  mesh, nprobe=nprobe, k=k,
+                                                  mask=mask0, spill=spill0)
                 prng = np.random.default_rng(0)
                 sel = prng.integers(0, n0, min(256, n0))
                 rows = np.asarray(jnp.take(g_live, jnp.asarray(sel),
@@ -493,7 +513,10 @@ class RetrievalEngine:
             gallery, mask = self.gallery, self._mask
             ivf = self._ivf
             if ivf is not None and self.capacity is not None:
-                ivf, spill = ivf.as_index(), ivf.spill  # online snapshot
+                if self.mesh is not None:
+                    ivf, spill = ivf.snapshot()  # ShardedOnlineIVF
+                else:
+                    ivf, spill = ivf.as_index(), ivf.spill  # OnlineIVF
         if self._pq is not None:
             from art_sbir_tpu.ops.pq import ivf_pq_search
 
@@ -508,10 +531,13 @@ class RetrievalEngine:
 
             emb = self._embed(jnp.asarray(images_u8))
             if self.mesh is not None:
-                # per-shard probes, shard-local gathers, O(B*k) ICI merge
-                vals, idx = ivf_search_sharded(emb, ivf, gallery, self.mesh,
-                                               nprobe=self._ivf_nprobe,
-                                               k=self.k_max)
+                # per-shard probes, shard-local gathers, O(B*k) ICI merge;
+                # online (capacity) composes via mask + per-shard spills
+                vals, idx = ivf_search_sharded(
+                    emb, ivf, gallery, self.mesh, nprobe=self._ivf_nprobe,
+                    k=self.k_max,
+                    mask=mask if self.capacity is not None else None,
+                    spill=spill if self.capacity is not None else None)
             elif self.capacity is not None:
                 # the live mask gates tombstones + the add publish race
                 vals, idx = ivf_search(emb, ivf, gallery,

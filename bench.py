@@ -151,6 +151,20 @@ def bench_fused_sharded_on_tpu() -> None:
     if not ok:
         raise AssertionError("fused-sharded != fused on TPU")
 
+    # sharded IVF compiled on TPU (shard_map + axis_index + lexsort merge
+    # — the CPU suite covers semantics; this covers the TPU lowering).
+    # Full probe must equal the exact path bit-for-bit on indices.
+    from art_sbir_tpu.ops.distance import retrieve_chunked
+    from art_sbir_tpu.ops.ivf import build_ivf_sharded, ivf_search_sharded
+
+    sidx = build_ivf_sharded(g, 1, 64)
+    sv, si = ivf_search_sharded(q, sidx, g, mesh, nprobe=sidx.nlist, k=10)
+    _, _, ei = retrieve_chunked(q, g, p, k=10, chunk=64)
+    ok = bool((np.asarray(si) == np.asarray(ei)).all())
+    log(f"sharded-IVF on TPU (1-device mesh, full probe == exact): {ok}")
+    if not ok:
+        raise AssertionError("sharded IVF full probe != exact on TPU")
+
 
 def bench_crossover(rtt: float) -> None:
     """Compact fused-vs-XLA crossover table (Q=512, both at the routing

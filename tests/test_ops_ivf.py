@@ -495,3 +495,110 @@ def test_sharded_validation_and_edges():
         search_fn=lambda qq, np_, kk: ivf_search_sharded(
             qq, sidx, jnp.asarray(g), mesh, nprobe=np_, k=kk))
     assert 1 <= tuned <= sidx.nlist
+
+
+def test_sharded_online_full_probe_matches_masked_exact_through_churn():
+    """ShardedOnlineIVF full probe == the maskable full scan across an
+    add/remove/re-add churn whose adds span shard boundaries and land in
+    shards that started EMPTY (the engine fills capacity slots in global
+    order, so trailing shards begin with no rows)."""
+    from art_sbir_tpu.ops.ivf import build_ivf_sharded_online
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(12)
+    d, cap_local, n0 = 16, 16, 24  # shards 2+ start empty
+    cap = s * cap_local
+    buf = np.zeros((cap, d), np.float32)
+    buf[:n0] = rng.standard_normal((n0, d))
+    siv = build_ivf_sharded_online(jnp.asarray(buf), n0, s, 4, iters=5)
+    assert siv.n_shards == s and siv.capacity == cap
+    mask = np.zeros(cap, bool)
+    mask[:n0] = True
+    q = rng.standard_normal((8, d)).astype(np.float32)
+
+    def check():
+        v, i = siv.search(jnp.asarray(q), jnp.asarray(buf), mesh,
+                          nprobe=siv.nlist, k=6, mask=jnp.asarray(mask))
+        ev, ei = _exact_masked(q, buf, mask, 6)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ev),
+                                   rtol=1e-4, atol=1e-3)
+
+    check()
+    new = rng.standard_normal((16, d)).astype(np.float32)
+    buf[24:40], mask[24:40] = new, True  # spans shards 1-2
+    siv.add(list(range(24, 40)), jnp.asarray(new))
+    check()
+    for r in (3, 30, 25):
+        mask[r] = False
+        siv.remove(r)
+    check()
+    buf[3] = rng.standard_normal(d).astype(np.float32)  # freed-slot reuse
+    mask[3] = True
+    siv.add([3], jnp.asarray(buf[3][None]))
+    check()
+    st = siv.stats()
+    assert st["live_rows"] == n0 + 16 - 3 + 1
+    assert st["n_shards"] == s and st["rows_per_shard"] == cap_local
+
+
+def test_sharded_online_equals_single_device_at_every_nprobe():
+    """Shared centroids mean the sharded probe gathers the SAME global
+    candidate set as the single-device OnlineIVF at every nprobe (spill
+    aside) — results must be identical, not just full-probe-equal."""
+    from art_sbir_tpu.ops.ivf import build_ivf_online, \
+        build_ivf_sharded_online
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(13)
+    d, cap_local, n0 = 24, 8, 40
+    cap = s * cap_local
+    centers = rng.standard_normal((4, d)) * 6.0
+    rows0, _ = _blobs(rng, 10, centers, d, scale=0.3)  # balanced blobs:
+    buf = np.zeros((cap, d), np.float32)               # pad roundup gives
+    buf[:n0] = rows0                                   # every cluster slack
+    oiv = build_ivf_online(jnp.asarray(buf), n0, 4, iters=8)
+    siv = build_ivf_sharded_online(jnp.asarray(buf), n0, s, 4, iters=8)
+    np.testing.assert_array_equal(np.asarray(oiv.centroids),
+                                  np.asarray(siv.centroids))
+    mask = np.zeros(cap, bool)
+    mask[:n0] = True
+    new, _ = _blobs(rng, 3, centers, d, scale=0.3)  # 3 adds per cluster
+    buf[n0:n0 + 12], mask[n0:n0 + 12] = new, True
+    oiv.add(list(range(n0, n0 + 12)), jnp.asarray(new))
+    siv.add(list(range(n0, n0 + 12)), jnp.asarray(new))
+    assert oiv.stats()["spill_used"] == 0  # the premise of equality
+    assert siv.stats()["spill_used"] == 0
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    for nprobe in (1, 2, 4):
+        ov, oi = oiv.search(jnp.asarray(q), jnp.asarray(buf),
+                            nprobe=nprobe, k=5, mask=jnp.asarray(mask))
+        sv, si = siv.search(jnp.asarray(q), jnp.asarray(buf), mesh,
+                            nprobe=nprobe, k=5, mask=jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(oi), np.asarray(si))
+        np.testing.assert_allclose(np.asarray(ov), np.asarray(sv),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_online_validation():
+    from art_sbir_tpu.ops.ivf import build_ivf_sharded_online
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(14)
+    buf = rng.standard_normal((s * 8, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="divide"):
+        build_ivf_sharded_online(jnp.asarray(buf[:-1]), 4, s, 2)
+    with pytest.raises(ValueError, match="initial live row"):
+        build_ivf_sharded_online(jnp.asarray(buf), 0, s, 2)
+    siv = build_ivf_sharded_online(jnp.asarray(buf), 8, s, 2, iters=3)
+    with pytest.raises(ValueError, match="outside"):
+        siv.add([s * 8], jnp.zeros((1, 8)))
+    with pytest.raises(ValueError, match="ids vs"):
+        siv.add([8, 9], jnp.zeros((1, 8)))
+    with pytest.raises(KeyError, match="not in the IVF index"):
+        siv.remove(s * 8 - 1)  # valid slot, never added
+    siv.add([9], jnp.zeros((1, 8)))  # shard 1's first row
+    siv.remove(9)

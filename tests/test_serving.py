@@ -880,10 +880,6 @@ def test_engine_sharded_ivf_route(tiny_engine):
     out = auto.search(_png_bytes(imgs[5]))
     assert out["paths"][0] == "gallery/img_5.png"
 
-    with pytest.raises(ValueError, match="compose with mesh"):
-        RetrievalEngine(eng._forward, gal, list(eng.image_paths),
-                        image_size=eng.image_size, capacity=24,
-                        mesh=data_mesh(8), ivf_nlist=2)
     with pytest.raises(ValueError, match="sharded IVF"):
         RetrievalEngine(eng._forward, gal, eng.image_paths,
                         image_size=eng.image_size, mesh=data_mesh(8),
@@ -1027,3 +1023,52 @@ def test_engine_online_ivf_churn(tiny_engine):
     st = ivf._ivf.stats()
     assert st["live_rows"] == 6 + 3 - 2 + 1 == ivf.n_valid
     assert st["spill_used"] == 0
+
+
+def test_engine_sharded_online_ivf_churn(tiny_engine):
+    """mesh + capacity + ivf_nlist (sharded ONLINE IVF,
+    ops/ivf.py::ShardedOnlineIVF): stays result-identical to the
+    full-scan online engine through adds, removals, and freed-slot
+    reuse (full probe), with adds landing in shards that started empty."""
+    from art_sbir_tpu.ops.ivf import ShardedOnlineIVF
+    from art_sbir_tpu.parallel import data_mesh
+
+    _, imgs = tiny_engine
+    ref, _ = _mk_capacity_engine(imgs, n0=6, capacity=80)
+    ivf, _ = _mk_capacity_engine(imgs, n0=6, capacity=80,
+                                 mesh=data_mesh(8), ivf_nlist=3,
+                                 ivf_nprobe=3)  # 10 slots/shard
+    assert isinstance(ivf._ivf, ShardedOnlineIVF)
+    assert ivf._ivf.n_shards == 8 and ivf._ivf.cap_local == 10
+
+    def check(queries):
+        for i in queries:
+            a = ref.search(_png_bytes(imgs[i]))
+            b = ivf.search(_png_bytes(imgs[i]))
+            assert a["paths"] == b["paths"]
+            np.testing.assert_allclose(a["distances"], b["distances"],
+                                       rtol=1e-4, atol=2e-2)
+
+    check((0, 5))
+    for eng in (ref, ivf):  # slots 6..12 span shards 0 and 1
+        slots = eng.add_images([(_png_bytes(imgs[i]), f"added/{i}.png")
+                                for i in (8, 9, 10, 11, 12, 13, 14)])
+        assert slots == list(range(6, 13))
+    check((1, 8, 12))
+    for eng in (ref, ivf):
+        eng.remove(["gallery/img_2.png", "added/9.png", "added/12.png"])
+    check((2, 9, 4))
+    for eng in (ref, ivf):  # freed slots reused, cluster slots recycled
+        eng.add_images([(_png_bytes(imgs[12]), "re/12.png")])
+    check((12, 0, 9))
+    st = ivf._ivf.stats()
+    assert st["live_rows"] == 6 + 7 - 3 + 1 == ivf.n_valid
+    assert st["n_shards"] == 8 and st["rows_per_shard"] == 10
+
+    # auto-nprobe composes with the sharded online probe
+    auto, _ = _mk_capacity_engine(imgs, n0=6, capacity=80,
+                                  mesh=data_mesh(8), ivf_nlist=3,
+                                  ivf_nprobe=0)
+    assert 1 <= auto._ivf_nprobe <= 3
+    out = auto.search(_png_bytes(imgs[4]))
+    assert out["paths"][0] == "gallery/img_4.png"
