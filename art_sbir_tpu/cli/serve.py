@@ -319,7 +319,8 @@ def main(argv=None):
     p.add_argument("--index_cache", default=None,
                    help="directory persisting the built IVF (+PQ) index "
                         "(.npz) — restarts skip the k-means/encode build; "
-                        "immutable --ivf_nlist indexes only")
+                        "immutable --ivf_nlist indexes only (single-device "
+                        "or sharded via --n_devices)")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)

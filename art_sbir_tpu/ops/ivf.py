@@ -752,6 +752,25 @@ def build_ivf_sharded(
         metric, n_local)
 
 
+def save_ivf_sharded(index: ShardedIVF, path) -> None:
+    """Persist a sharded index as one ``.npz`` (the sharded analog of
+    :func:`save_ivf`; ``n_local`` pins the shard layout so a load onto
+    a different mesh size is rejected by the pairing guards)."""
+    np.savez_compressed(
+        path, centroids=np.asarray(index.centroids),
+        row_ids=np.asarray(index.row_ids), counts=index.counts,
+        metric=np.asarray(index.metric),
+        n_local=np.asarray(index.n_local))
+
+
+def load_ivf_sharded(path) -> ShardedIVF:
+    with np.load(path) as z:
+        return ShardedIVF(jnp.asarray(z["centroids"]),
+                          jnp.asarray(z["row_ids"]),
+                          z["counts"].astype(np.int64),
+                          str(z["metric"]), int(z["n_local"]))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "ax", "n_local", "metric", "k", "nprobe"))
 def _ivf_sharded_jit(queries, centroids, row_ids, gallery, mask=None,

@@ -168,8 +168,9 @@ class RetrievalEngine:
         shard (:class:`art_sbir_tpu.ops.ivf.ShardedIVF`); with
         ``capacity`` too, centroids are shared and each shard keeps
         mutable local tables + spill
-        (:class:`art_sbir_tpu.ops.ivf.ShardedOnlineIVF`); no
-        ``index_cache``). ``ivf_nprobe=0`` auto-tunes at
+        (:class:`art_sbir_tpu.ops.ivf.ShardedOnlineIVF`); immutable
+        sharded indexes persist via ``index_cache`` like single-device
+        ones). ``ivf_nprobe=0`` auto-tunes at
         startup (smallest power-of-two nprobe reaching 95% recall@k_max
         on a perturbed-gallery proxy). No ``quantize``.
 
@@ -276,11 +277,10 @@ class RetrievalEngine:
                 # rows + per-shard mutable tables/spills with local slot
                 # ids (ShardedOnlineIVF). Either way: per-shard probes,
                 # shard-local gathers, O(Q*k) merge over ICI.
-                if index_cache is not None:
-                    raise ValueError("index_cache does not persist "
-                                     "sharded IVF indexes yet")
                 from art_sbir_tpu.ops.ivf import (build_ivf_sharded,
-                                                  build_ivf_sharded_online)
+                                                  build_ivf_sharded_online,
+                                                  load_ivf_sharded,
+                                                  save_ivf_sharded)
 
                 ax0 = mesh.axis_names[0]
                 n_shards = int(mesh.shape[ax0])
@@ -297,9 +297,29 @@ class RetrievalEngine:
                         self.gallery, n0, n_shards, int(ivf_nlist) or None,
                         metric=metric)
                 else:
-                    self._ivf = build_ivf_sharded(
-                        self.gallery, n_shards, int(ivf_nlist) or None,
-                        metric=metric)
+                    cache_dir = (Path(index_cache) if index_cache
+                                 else None)
+                    if cache_dir is not None:
+                        cache_dir.mkdir(parents=True, exist_ok=True)
+                        f = cache_dir / "ivf_sharded.npz"
+                        if f.exists():
+                            cand = load_ivf_sharded(f)
+                            if (cand.metric == metric
+                                    and int(cand.centroids.shape[2])
+                                    == int(self.gallery.shape[1])
+                                    and cand.n_shards == n_shards
+                                    and cand.n_local == rows // n_shards
+                                    and int(cand.counts.sum()) == n0
+                                    and (int(ivf_nlist) == 0
+                                         or cand.nlist == int(ivf_nlist))):
+                                self._ivf = cand
+                    if self._ivf is None:
+                        self._ivf = build_ivf_sharded(
+                            self.gallery, n_shards, int(ivf_nlist) or None,
+                            metric=metric)
+                        if cache_dir is not None:
+                            save_ivf_sharded(self._ivf,
+                                             cache_dir / "ivf_sharded.npz")
             elif capacity is not None:
                 # ONLINE IVF: cluster the initial live rows; adds assign
                 # to the nearest centroid, removals tombstone via the

@@ -602,3 +602,27 @@ def test_sharded_online_validation():
         siv.remove(s * 8 - 1)  # valid slot, never added
     siv.add([9], jnp.zeros((1, 8)))  # shard 1's first row
     siv.remove(9)
+
+
+def test_sharded_save_load_roundtrip(tmp_path):
+    from art_sbir_tpu.ops.ivf import (build_ivf_sharded, ivf_search_sharded,
+                                      load_ivf_sharded, save_ivf_sharded)
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(15)
+    g = rng.standard_normal((16 * s, 16)).astype(np.float32)
+    q = g[:5] + 0.01
+    sidx = build_ivf_sharded(jnp.asarray(g), s, 4, iters=4)
+    save_ivf_sharded(sidx, tmp_path / "s.npz")
+    back = load_ivf_sharded(tmp_path / "s.npz")
+    assert (back.metric, back.n_local) == (sidx.metric, sidx.n_local)
+    np.testing.assert_array_equal(np.asarray(back.row_ids),
+                                  np.asarray(sidx.row_ids))
+    np.testing.assert_array_equal(back.counts, sidx.counts)
+    v0, i0 = ivf_search_sharded(jnp.asarray(q), sidx, jnp.asarray(g),
+                                mesh, nprobe=2, k=5)
+    v1, i1 = ivf_search_sharded(jnp.asarray(q), back, jnp.asarray(g),
+                                mesh, nprobe=2, k=5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))

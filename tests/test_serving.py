@@ -880,10 +880,6 @@ def test_engine_sharded_ivf_route(tiny_engine):
     out = auto.search(_png_bytes(imgs[5]))
     assert out["paths"][0] == "gallery/img_5.png"
 
-    with pytest.raises(ValueError, match="sharded IVF"):
-        RetrievalEngine(eng._forward, gal, eng.image_paths,
-                        image_size=eng.image_size, mesh=data_mesh(8),
-                        ivf_nlist=2, index_cache="unused")
     with pytest.raises(ValueError, match="exceeds the per-shard"):
         RetrievalEngine(eng._forward, gal, eng.image_paths,
                         image_size=eng.image_size, k_max=5,
@@ -1072,3 +1068,40 @@ def test_engine_sharded_online_ivf_churn(tiny_engine):
     assert 1 <= auto._ivf_nprobe <= 3
     out = auto.search(_png_bytes(imgs[4]))
     assert out["paths"][0] == "gallery/img_4.png"
+
+
+def test_engine_sharded_index_cache_roundtrip(tiny_engine, tmp_path,
+                                              monkeypatch):
+    """index_cache persists the sharded IVF: a second engine with the
+    same mesh/params loads it (the per-shard k-means never runs), serves
+    identically; a different mesh size rejects the cache and rebuilds."""
+    import art_sbir_tpu.ops.ivf as ivf_mod
+    from art_sbir_tpu.parallel import data_mesh
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    gal = np.asarray(eng.gallery)
+    kw = dict(metric="euclidean", image_size=eng.image_size, k_max=2,
+              max_batch=8, ivf_nlist=2, ivf_nprobe=2,
+              index_cache=tmp_path / "sidx")
+    first = RetrievalEngine(eng._forward, gal, eng.image_paths,
+                            mesh=data_mesh(8), **kw)
+    assert (tmp_path / "sidx" / "ivf_sharded.npz").exists()
+    v0, i0 = first.search_arrays(imgs[[3, 11]])
+
+    def boom(*a, **k):
+        raise AssertionError("sharded build ran despite a valid cache")
+
+    monkeypatch.setattr(ivf_mod, "build_ivf", boom)
+    second = RetrievalEngine(eng._forward, gal, eng.image_paths,
+                             mesh=data_mesh(8), **kw)
+    v1, i1 = second.search_arrays(imgs[[3, 11]])
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-6, atol=1e-6)
+    monkeypatch.undo()
+
+    # mesh-size mismatch (n_shards/n_local guards) -> rebuild, not reuse
+    other = RetrievalEngine(eng._forward, gal, eng.image_paths,
+                            mesh=data_mesh(4), **kw)
+    out = other.search(_png_bytes(imgs[6]))
+    assert out["paths"][0] == "gallery/img_6.png"
