@@ -301,7 +301,9 @@ def main(argv=None):
                    help="IVF-PQ (ops/pq.py; requires --ivf_nlist): "
                         "product-quantize the gallery to this many uint8 "
                         "codes/row (64 = 64x smaller than f32) and score "
-                        "probed candidates via the gather-free ADC scan")
+                        "probed candidates via the gather-free ADC scan; "
+                        "composes with --n_devices (codes row-sharded, "
+                        "per-shard ADC + local rerank)")
     p.add_argument("--pq_rerank", default="bfloat16",
                    choices=["none", "float32", "bfloat16"],
                    help="residency of the exact rows reranking the top "

@@ -273,6 +273,222 @@ def build_ivf_pq(
     return cb, jnp.asarray(codes)
 
 
+def build_ivf_pq_sharded(
+    gallery: jax.Array,
+    index,
+    m: int = 64,
+    *,
+    k_codes: int = 256,
+    iters: int = 10,
+    seed: int = 0,
+    sample: int = 65536,
+    chunk: int = 16384,
+    opq_iters: int = 0,
+) -> Tuple[PQCodebook, jax.Array]:
+    """Residual IVF-PQ build over a :class:`art_sbir_tpu.ops.ivf.ShardedIVF`
+    -> (ONE shared codebook, (N, M) uint8 codes in global row order).
+
+    Multi-chip analog of :func:`build_ivf_pq`: each row's residual is
+    taken against its assigned centroid in ITS OWN shard's local index
+    (shard ``s`` owns global rows ``[s*n_local, (s+1)*n_local)``), the
+    codebook is trained ONCE on a residual sample pooled across shards
+    (so ADC values are comparable across shards at search time), and
+    codes are encoded shard block by shard block. The codes array is
+    row-sharded with the gallery at search time
+    (:func:`ivf_pq_search_sharded`)."""
+    from art_sbir_tpu.ops.ivf import ShardedIVF, _assign, _pad_rows
+
+    if not isinstance(index, ShardedIVF):
+        raise ValueError("build_ivf_pq_sharded needs a ShardedIVF "
+                         "(use build_ivf_pq for single-device indexes)")
+    g = jnp.asarray(gallery, jnp.float32)
+    n, d = g.shape
+    s_count, n_local = index.n_shards, index.n_local
+    if n != s_count * n_local:
+        raise ValueError(f"gallery rows ({n}) != n_shards*n_local "
+                         f"({s_count}*{n_local})")
+    if index.metric == "cosine":
+        g = _l2n(g)
+    ck = min(chunk, max(n_local, 1))
+
+    def _labels(s):
+        gs = g[s * n_local: (s + 1) * n_local]
+        gp, _, _ = _pad_rows(gs, ck)
+        return _assign(gp, index.centroids[s], chunk=ck)[:n_local]
+
+    labels = [_labels(s) for s in range(s_count)]
+
+    def _residual(s, lo, hi):
+        return (g[s * n_local + lo: s * n_local + hi]
+                - jnp.take(index.centroids[s], labels[s][lo:hi], axis=0))
+
+    # pooled sample: proportional per shard so no shard dominates the fit
+    per = max(1, min(sample // s_count, n_local))
+    rng = jax.random.PRNGKey(seed + 1)
+    parts = []
+    for s in range(s_count):
+        sel = jax.random.choice(jax.random.fold_in(rng, s), n_local,
+                                (per,), replace=False)
+        parts.append(jnp.take(_residual(s, 0, n_local), sel, axis=0))
+    base = train_pq(jnp.concatenate(parts), m, k_codes=k_codes,
+                    metric="euclidean", iters=iters, seed=seed,
+                    sample=sample, opq_iters=opq_iters)
+    cb = PQCodebook(base.centroids, index.metric, True, base.rotation)
+    codes = np.empty((n, m), np.uint8)
+    for s in range(s_count):
+        for lo in range(0, n_local, ck):
+            hi = min(lo + ck, n_local)
+            codes[s * n_local + lo: s * n_local + hi] = np.asarray(
+                encode_pq(_residual(s, lo, hi), cb, chunk=ck))
+    return cb, jnp.asarray(codes)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "ax", "n_local", "metric", "k", "nprobe", "rerank",
+    "residual"))
+def _ivf_pq_sharded_jit(queries, centroids, row_ids, codes, cb_cent,
+                        rows=None, rot=None, *, mesh, ax, n_local, metric,
+                        k, nprobe, rerank, residual):
+    """One program: per-shard IVF-PQ (probe + ADC scan + optional local
+    exact rerank over the shard's own rows) + the same (value, global
+    index) lexsort merge as :func:`art_sbir_tpu.ops.ivf._ivf_sharded_jit`
+    — full probe + full rerank reproduces the exact path's tie order."""
+    from jax.sharding import PartitionSpec as P
+
+    try:  # jax >= 0.5 public namespace
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = _sm
+
+    nq = queries.shape[0]
+    n_dev = int(mesh.shape[ax])
+    n = n_dev * n_local
+
+    args = [queries, centroids, row_ids, codes, cb_cent]
+    specs = [P(), P(ax, None, None), P(ax, None, None), P(ax, None), P()]
+    if rows is not None:
+        args.append(rows)
+        specs.append(P(ax, None))
+    if rot is not None:
+        args.append(rot)
+        specs.append(P())
+
+    def worker(q, cent_s, tab_s, codes_s, cbc, *rest):
+        rest = list(rest)
+        rows_s = rest.pop(0) if rows is not None else None
+        rot_r = rest.pop(0) if rot is not None else None
+        core = _ivf_pq_residual_core if residual else _ivf_pq_core
+        vals, ids = core(q, cent_s[0], tab_s[0], codes_s, cbc, rows_s,
+                         rot_r, metric=metric, k=k, nprobe=nprobe,
+                         rerank=rerank)
+        off = jax.lax.axis_index(ax) * n_local
+        gid = jnp.where(ids >= n_local, n, ids + off)  # pads -> global N
+        return vals[None], gid[None]
+
+    pv, pi = shard_map(
+        worker, mesh=mesh,
+        in_specs=tuple(specs),
+        out_specs=(P(ax), P(ax)),
+        check_vma=False,  # the ADC scan's zeros-init carry is unvarying
+        # while its per-step addend derives from sharded codes — the vma
+        # checker rejects the mixed carry (same waiver as ops/quant.py)
+    )(*args)
+
+    vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
+    idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
+    order = jnp.lexsort((idx_all, vals_all), axis=-1)[:, :k]
+    return (jnp.take_along_axis(vals_all, order, axis=-1),
+            jnp.take_along_axis(idx_all, order, axis=-1))
+
+
+def ivf_pq_search_sharded(
+    queries: jax.Array,
+    index,
+    codes: jax.Array,
+    cb: PQCodebook,
+    mesh: jax.sharding.Mesh,
+    *,
+    axis_name: Optional[str] = None,
+    nprobe: int = 8,
+    k: int = 10,
+    rows: Optional[jax.Array] = None,
+    rerank_factor: int = 4,
+    row_budget_bytes: int = 1 << 30,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-chip IVF-PQ top-k -> (values, GLOBAL indices).
+
+    Every shard probes its ``nprobe`` nearest local clusters, ADC-scores
+    the gathered CODES (M bytes/row — candidate gathers never cross
+    chips), optionally reranks its own top candidates exactly against
+    its shard of ``rows``, and ships a (Q, k) partial; the merge
+    lexsorts by (value, global index). Contracts (mirroring
+    :func:`ivf_pq_search` / :func:`art_sbir_tpu.ops.ivf.ivf_search_sharded`):
+
+    * rerank mode with ``nprobe == index.nlist`` and ``rerank_factor*k``
+      covering every candidate is IDENTICAL to the exact path — values,
+      indices, tie order (per-shard exact scores, same lexsort as the
+      sharded exact merge);
+    * pure mode (``rows=None``) values are distances to the PQ
+      reconstruction, comparable across shards because the codebook is
+      shared (:func:`build_ivf_pq_sharded`);
+    * pad slots rank at ``+inf`` with index ``N``.
+
+    ``rows``, when given, is the (N, D) gallery row-sharded like the
+    codes (local exact rerank, then only (Q, k) partials ride ICI)."""
+    from art_sbir_tpu.ops.ivf import ShardedIVF
+
+    if not isinstance(index, ShardedIVF):
+        raise ValueError("ivf_pq_search_sharded needs a ShardedIVF")
+    if index.metric != cb.metric:
+        raise ValueError(f"index metric {index.metric!r} != codebook "
+                         f"metric {cb.metric!r}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if rows is not None and rerank_factor < 1:
+        raise ValueError("rerank_factor must be >= 1 when rows are given")
+    ax = axis_name or mesh.axis_names[0]
+    n_dev = int(mesh.shape[ax])
+    if n_dev != index.n_shards:
+        raise ValueError(f"index built for {index.n_shards} shards, mesh "
+                         f"'{ax}' axis has {n_dev}")
+    n = int(codes.shape[0])
+    if n != n_dev * index.n_local:
+        raise ValueError(f"codes rows ({n}) != n_shards*n_local "
+                         f"({n_dev}*{index.n_local})")
+    if rows is not None and int(rows.shape[0]) != n:
+        raise ValueError(f"rows ({rows.shape[0]}) must shard like the "
+                         f"codes ({n})")
+    if k > index.n_local:
+        raise ValueError(f"k={k} exceeds the per-shard gallery size "
+                         f"{index.n_local}; shrink the mesh axis or pad "
+                         "the gallery")
+    nprobe = min(nprobe, index.nlist)
+    r = nprobe * index.pad_width
+    k = min(k, r, index.n_local)
+    # per-device, per-query: candidate codes + one-hot scan step + LUT(s)
+    per_q = (r * (cb.m + 4 * cb.k_codes)
+             + nprobe * cb.m * cb.k_codes * 4)
+    qc = max(1, int(row_budget_bytes // max(per_q, 1)))
+    nq = queries.shape[0]
+    if nq == 0:
+        return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32))
+    rerank = rerank_factor if rows is not None else 0
+    outs = [
+        _ivf_pq_sharded_jit(
+            jnp.asarray(queries[i: i + qc], jnp.float32), index.centroids,
+            index.row_ids, codes, cb.centroids, rows, cb.rotation,
+            mesh=mesh, ax=ax, n_local=index.n_local, metric=cb.metric,
+            k=k, nprobe=nprobe, rerank=rerank, residual=cb.residual)
+        for i in range(0, nq, qc)
+    ]
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]))
+
+
 def save_pq(cb: PQCodebook, codes: jax.Array, path) -> None:
     """Persist a codebook + codes as one ``.npz`` (pairs with
     :func:`art_sbir_tpu.ops.ivf.save_ivf` for full IVF-PQ restarts)."""

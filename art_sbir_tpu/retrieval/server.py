@@ -188,8 +188,10 @@ class RetrievalEngine:
         DROPPED, results are approximate (ADC-ordered, reconstruction-
         distance values), and HBM holds only codes + cluster table:
         the extreme-capacity mode (~pq_m bytes/row; millions of rows
-        resident in hundreds of MB). Immutable single-device indexes
-        only."""
+        resident in hundreds of MB). Immutable indexes only; composes
+        with ``mesh`` (one shared residual codebook, codes row-sharded
+        with the gallery, per-shard ADC + local exact rerank, O(B*k)
+        ICI merge — :func:`art_sbir_tpu.ops.pq.ivf_pq_search_sharded`)."""
         n0 = int(gallery_features.shape[0])
         if n0 == 0 and capacity is None:
             raise ValueError("cannot serve an empty gallery "
@@ -313,6 +315,7 @@ class RetrievalEngine:
                                     and (int(ivf_nlist) == 0
                                          or cand.nlist == int(ivf_nlist))):
                                 self._ivf = cand
+                                ivf_cached = True
                     if self._ivf is None:
                         self._ivf = build_ivf_sharded(
                             self.gallery, n_shards, int(ivf_nlist) or None,
@@ -397,24 +400,30 @@ class RetrievalEngine:
             if self._ivf is None:
                 raise ValueError("pq_m requires ivf_nlist= (IVF-PQ: the "
                                  "probe selects which codes to score)")
-            if capacity is not None or mesh is not None or quantize:
-                raise ValueError("pq_m serves immutable single-device "
-                                 "indexes only (no capacity=/mesh=/"
-                                 "quantize=)")
+            if capacity is not None or quantize:
+                raise ValueError("pq_m serves immutable indexes only "
+                                 "(no capacity=/quantize=)")
             if pq_rerank not in ("none", "float32", "bfloat16"):
                 raise ValueError(f"pq_rerank must be none|float32|bfloat16,"
                                  f" got {pq_rerank!r}")
-            from art_sbir_tpu.ops.pq import build_ivf_pq, load_pq, save_pq
+            from art_sbir_tpu.ops.pq import (build_ivf_pq,
+                                             build_ivf_pq_sharded,
+                                             load_pq, save_pq)
 
             # RESIDUAL IVF-PQ (FAISS by_residual): codes quantize
             # x - c(x), the within-cluster variation ranking needs —
-            # raw-row PQ measured collapsed at scale (ops/pq.py)
+            # raw-row PQ measured collapsed at scale (ops/pq.py).
+            # With mesh=: ONE shared codebook over per-shard residuals,
+            # codes row-sharded with the gallery (ops/pq.py sharded).
+            build = (build_ivf_pq_sharded if mesh is not None
+                     else build_ivf_pq)
+            pq_file = "pq_sharded.npz" if mesh is not None else "pq.npz"
             cache_dir = Path(index_cache) if index_cache else None
             if cache_dir is not None and ivf_cached and (
-                    cache_dir / "pq.npz").exists():
+                    cache_dir / pq_file).exists():
                 # only pair a cached PQ with the cached IVF it was
                 # encoded against (a rebuilt IVF has fresh centroids)
-                cand_cb, cand_codes = load_pq(cache_dir / "pq.npz")
+                cand_cb, cand_codes = load_pq(cache_dir / pq_file)
                 if (cand_cb.residual and cand_cb.metric == metric
                         and cand_cb.m == int(pq_m)
                         and cand_cb.k_codes == min(256, n0)
@@ -423,12 +432,12 @@ class RetrievalEngine:
                              == bool(pq_opq_iters))):
                     self._pq = (cand_cb, cand_codes)
             if self._pq is None:
-                self._pq = build_ivf_pq(self.gallery, self._ivf,
-                                        int(pq_m), k_codes=min(256, n0),
-                                        opq_iters=int(pq_opq_iters))
+                self._pq = build(self.gallery, self._ivf,
+                                 int(pq_m), k_codes=min(256, n0),
+                                 opq_iters=int(pq_opq_iters))
                 if cache_dir is not None:
                     save_pq(self._pq[0], self._pq[1],
-                            cache_dir / "pq.npz")
+                            cache_dir / pq_file)
             self._rerank_factor = int(pq_rerank_factor)
             if pq_rerank == "none":
                 self.gallery = None  # codes + table are the whole index
@@ -538,14 +547,23 @@ class RetrievalEngine:
                 else:
                     ivf, spill = ivf.as_index(), ivf.spill  # OnlineIVF
         if self._pq is not None:
-            from art_sbir_tpu.ops.pq import ivf_pq_search
+            from art_sbir_tpu.ops.pq import (ivf_pq_search,
+                                             ivf_pq_search_sharded)
 
             emb = self._embed(jnp.asarray(images_u8))
             cb, codes = self._pq
-            vals, idx = ivf_pq_search(
-                emb, ivf, codes, cb, nprobe=self._ivf_nprobe,
-                k=self.k_max, rows=gallery,
-                rerank_factor=self._rerank_factor)
+            if self.mesh is not None:
+                # per-shard ADC over shard-local codes + local exact
+                # rerank against the shard's own rows; O(B*k) ICI merge
+                vals, idx = ivf_pq_search_sharded(
+                    emb, ivf, codes, cb, self.mesh,
+                    nprobe=self._ivf_nprobe, k=self.k_max, rows=gallery,
+                    rerank_factor=self._rerank_factor)
+            else:
+                vals, idx = ivf_pq_search(
+                    emb, ivf, codes, cb, nprobe=self._ivf_nprobe,
+                    k=self.k_max, rows=gallery,
+                    rerank_factor=self._rerank_factor)
         elif ivf is not None:
             from art_sbir_tpu.ops.ivf import ivf_search, ivf_search_sharded
 

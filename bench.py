@@ -165,6 +165,20 @@ def bench_fused_sharded_on_tpu() -> None:
     if not ok:
         raise AssertionError("sharded IVF full probe != exact on TPU")
 
+    # sharded IVF-PQ compiled on TPU (per-shard ADC scan + local exact
+    # rerank inside shard_map): full probe + full rerank == exact indices
+    from art_sbir_tpu.ops.pq import build_ivf_pq_sharded, \
+        ivf_pq_search_sharded
+
+    cb, codes = build_ivf_pq_sharded(g, sidx, 16, k_codes=256, iters=4)
+    pv, pi = ivf_pq_search_sharded(q, sidx, codes, cb, mesh,
+                                   nprobe=sidx.nlist, k=10, rows=g,
+                                   rerank_factor=1000)
+    ok = bool((np.asarray(pi) == np.asarray(ei)).all())
+    log(f"sharded-IVF-PQ on TPU (full probe + full rerank == exact): {ok}")
+    if not ok:
+        raise AssertionError("sharded IVF-PQ full rerank != exact on TPU")
+
 
 def bench_crossover(rtt: float) -> None:
     """Compact fused-vs-XLA crossover table (Q=512, both at the routing

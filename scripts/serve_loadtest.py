@@ -16,7 +16,7 @@ clean).
 
 Usage: python scripts/serve_loadtest.py [--clients 8] [--seconds 20]
        [--gallery 10000] [--window_ms 2] [--image_size 224] [--cpu]
-       [--churn] [--quantize]
+       [--churn] [--quantize] [--ivf_nlist N [--pq_m M]] [--n_devices S]
 """
 
 from __future__ import annotations
@@ -77,6 +77,11 @@ def main() -> None:
     p.add_argument("--index_cache", default=None,
                    help="directory persisting the IVF/PQ index across "
                         "restarts (immutable --ivf_nlist only)")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="row-shard the resident gallery over a 1-D mesh "
+                        "of this many devices (sharded exact/int8/IVF/"
+                        "IVF-PQ serving routes; on CPU use "
+                        "--xla_force_host_platform_device_count)")
     p.add_argument("--clustered", action="store_true",
                    help="blob-structured synthetic gallery (realistic "
                         "image-embedding geometry — the regime IVF's "
@@ -122,6 +127,14 @@ def main() -> None:
             (args.gallery, EMBED_DIM)).astype(np.float32)
     if args.quantize and args.churn:
         raise SystemExit("--quantize serves immutable indexes; drop --churn")
+    mesh = None
+    if args.n_devices > 1:
+        from art_sbir_tpu.parallel import data_mesh
+
+        if args.gallery % args.n_devices:
+            raise SystemExit(f"--gallery {args.gallery} must divide "
+                             f"--n_devices {args.n_devices}")
+        mesh = data_mesh(args.n_devices)
     engine = RetrievalEngine(
         forward, gallery, [f"img_{i}" for i in range(args.gallery)],
         image_size=s, k_max=10, max_batch=args.max_batch,
@@ -131,7 +144,7 @@ def main() -> None:
         pq_m=args.pq_m, pq_rerank=args.pq_rerank,
         pq_rerank_factor=args.pq_rerank_factor,
         pq_opq_iters=args.pq_opq_iters,
-        index_cache=args.index_cache)
+        index_cache=args.index_cache, mesh=mesh)
     if engine._ivf is not None:
         log(f"IVF index: {engine._ivf.stats()}")
     if engine._pq is not None:

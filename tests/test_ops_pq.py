@@ -338,3 +338,108 @@ def test_validation_errors():
     cidx = build_ivf(jnp.asarray(g), 4, metric="cosine", iters=3)
     with pytest.raises(ValueError, match="metric"):
         ivf_pq_search(jnp.asarray(g[:2]), cidx, codes, cb, nprobe=1)
+
+
+# ----------------------------------------------------------- sharded IVF-PQ
+
+def _mesh8():
+    import jax
+
+    from art_sbir_tpu.parallel.mesh import MeshSpec
+
+    return MeshSpec(data=len(jax.devices())).build()
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_sharded_full_probe_full_rerank_matches_exact_path(metric):
+    """Sharded IVF-PQ with nprobe == nlist and a rerank budget covering
+    every candidate: each shard scores all of its rows exactly, and the
+    (value, global index) lexsort merge reproduces the exact path
+    bit-for-bit — values, indices, and ascending-gallery-index ties."""
+    from art_sbir_tpu.ops.ivf import build_ivf_sharded
+    from art_sbir_tpu.ops.pq import build_ivf_pq_sharded, \
+        ivf_pq_search_sharded
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(21)
+    g = rng.standard_normal((25 * s - 8, 32)).astype(np.float32)
+    g = np.concatenate([g, g[:8]])  # duplicates (cross-shard) -> ties
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    sidx = build_ivf_sharded(jnp.asarray(g), s, 4, metric=metric, iters=5)
+    cb, codes = build_ivf_pq_sharded(jnp.asarray(g), sidx, 8, k_codes=16,
+                                     iters=5)
+    assert cb.residual and cb.metric == metric
+    assert codes.shape == (25 * s, 8) and codes.dtype == jnp.uint8
+    vals, ids = ivf_pq_search_sharded(
+        jnp.asarray(q), sidx, codes, cb, mesh, nprobe=sidx.nlist, k=7,
+        rows=jnp.asarray(g), rerank_factor=1000)
+    _, ev, ei = retrieve(jnp.asarray(q), jnp.asarray(g),
+                         jnp.zeros(16, jnp.int32), k=7, metric=metric)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ei))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ev),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_pure_pq_self_retrieval_and_chunking():
+    """Pure mode (rows dropped): shared codebook makes per-shard ADC
+    values comparable, so self-retrieval lands on separated rows and
+    host query-chunking is a no-op on results."""
+    from art_sbir_tpu.ops.ivf import build_ivf_sharded
+    from art_sbir_tpu.ops.pq import build_ivf_pq_sharded, \
+        ivf_pq_search_sharded
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(22)
+    g = (10.0 * rng.standard_normal((16 * s, 16))).astype(np.float32)
+    sidx = build_ivf_sharded(jnp.asarray(g), s, 4, iters=8)
+    cb, codes = build_ivf_pq_sharded(jnp.asarray(g), sidx, 4, k_codes=64,
+                                     iters=10)
+    vals, ids = ivf_pq_search_sharded(jnp.asarray(g), sidx, codes, cb,
+                                      mesh, nprobe=sidx.nlist, k=3)
+    assert (np.asarray(ids)[:, 0] == np.arange(16 * s)).all()
+    v = np.asarray(vals)
+    assert np.isfinite(v[:, :1]).all() and (v[:, 0] >= 0).all()
+    assert (v[:, 0] < 0.5 * v[:, 1]).all()
+
+    cv, ci = ivf_pq_search_sharded(jnp.asarray(g), sidx, codes, cb, mesh,
+                                   nprobe=sidx.nlist, k=3,
+                                   row_budget_bytes=1 << 16)
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(vals))
+
+
+def test_sharded_pq_validation_errors():
+    from art_sbir_tpu.ops.ivf import build_ivf, build_ivf_sharded
+    from art_sbir_tpu.ops.pq import build_ivf_pq_sharded, \
+        ivf_pq_search_sharded
+
+    mesh = _mesh8()
+    s = mesh.devices.size
+    rng = np.random.default_rng(23)
+    g = rng.standard_normal((8 * s, 16)).astype(np.float32)
+    sidx = build_ivf_sharded(jnp.asarray(g), s, 2, iters=3)
+    cb, codes = build_ivf_pq_sharded(jnp.asarray(g), sidx, 4, k_codes=8,
+                                     iters=3)
+    flat = build_ivf(jnp.asarray(g), 2, iters=3)
+    with pytest.raises(ValueError, match="ShardedIVF"):
+        build_ivf_pq_sharded(jnp.asarray(g), flat, 4)
+    with pytest.raises(ValueError, match="ShardedIVF"):
+        ivf_pq_search_sharded(jnp.asarray(g[:2]), flat, codes, cb, mesh)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_pq_search_sharded(jnp.asarray(g[:2]), sidx, codes, cb, mesh,
+                              nprobe=0)
+    with pytest.raises(ValueError, match="exceeds the per-shard"):
+        ivf_pq_search_sharded(jnp.asarray(g[:2]), sidx, codes, cb, mesh,
+                              nprobe=1, k=9)
+    with pytest.raises(ValueError, match="codes rows"):
+        ivf_pq_search_sharded(jnp.asarray(g[:2]), sidx, codes[:-1], cb,
+                              mesh, nprobe=1)
+    with pytest.raises(ValueError, match="shard like the codes"):
+        ivf_pq_search_sharded(jnp.asarray(g[:2]), sidx, codes, cb, mesh,
+                              nprobe=1, rows=jnp.asarray(g[:-1]))
+    ccb = PQCodebook(cb.centroids, "cosine", True, None)
+    with pytest.raises(ValueError, match="metric"):
+        ivf_pq_search_sharded(jnp.asarray(g[:2]), sidx, codes, ccb, mesh,
+                              nprobe=1)

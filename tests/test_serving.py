@@ -1105,3 +1105,49 @@ def test_engine_sharded_index_cache_roundtrip(tiny_engine, tmp_path,
                             mesh=data_mesh(4), **kw)
     out = other.search(_png_bytes(imgs[6]))
     assert out["paths"][0] == "gallery/img_6.png"
+
+
+def test_engine_sharded_pq_route(tiny_engine, tmp_path, monkeypatch):
+    """pq_m composes with mesh (sharded IVF-PQ): full probe + a rerank
+    budget covering every candidate equals the exact engine; rows-dropped
+    pure mode still self-retrieves; index_cache persists BOTH the sharded
+    IVF and the PQ codes (second engine skips both builds)."""
+    import art_sbir_tpu.ops.ivf as ivf_mod
+    import art_sbir_tpu.ops.pq as pq_mod
+    from art_sbir_tpu.parallel import data_mesh
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    gal = np.asarray(eng.gallery)
+    kw = dict(metric="euclidean", image_size=eng.image_size, k_max=2,
+              max_batch=8, ivf_nlist=2, ivf_nprobe=2, pq_m=4,
+              pq_rerank_factor=1000, pq_rerank="float32",
+              index_cache=tmp_path / "spq")
+    spq = RetrievalEngine(eng._forward, gal, eng.image_paths,
+                          mesh=data_mesh(8), **kw)
+    assert (tmp_path / "spq" / "ivf_sharded.npz").exists()
+    assert (tmp_path / "spq" / "pq_sharded.npz").exists()
+    v0, i0 = eng.search_arrays(imgs[[2, 13, 7]])
+    v1, i1 = spq.search_arrays(imgs[[2, 13, 7]])
+    np.testing.assert_array_equal(i0[:, :2], i1)
+    np.testing.assert_allclose(v0[:, :2], v1, rtol=1e-4, atol=2e-2)
+
+    def boom(*a, **k):
+        raise AssertionError("build ran despite a valid cache")
+
+    monkeypatch.setattr(ivf_mod, "build_ivf", boom)
+    monkeypatch.setattr(pq_mod, "build_ivf_pq_sharded", boom)
+    second = RetrievalEngine(eng._forward, gal, eng.image_paths,
+                             mesh=data_mesh(8), **kw)
+    v2, i2 = second.search_arrays(imgs[[2, 13, 7]])
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
+    monkeypatch.undo()
+
+    pure = RetrievalEngine(
+        eng._forward, gal, eng.image_paths, metric="euclidean",
+        image_size=eng.image_size, k_max=2, max_batch=8, ivf_nlist=2,
+        ivf_nprobe=2, pq_m=4, pq_rerank="none", mesh=data_mesh(8))
+    assert pure.gallery is None
+    out = pure.search(_png_bytes(imgs[9]))
+    assert out["paths"][0] == "gallery/img_9.png"
