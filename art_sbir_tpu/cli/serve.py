@@ -268,7 +268,7 @@ def main(argv=None):
     p.add_argument("--n_devices", type=int, default=1,
                    help="row-shard the resident gallery over this many "
                         "devices (first mesh axis); rows (or capacity) "
-                        "must divide it")
+                        "must be divisible by it")
     p.add_argument("--quantize", action="store_true",
                    help="int8 candidate scan + exact rerank (ops/quant.py; "
                         "immutable indexes; composes with --n_devices)")

@@ -525,17 +525,27 @@ class OnlineIVF:
 
     # ------------------------------------------------------------- index ops
 
-    def add(self, row_ids: Sequence[int], rows: jax.Array) -> None:
+    def add(self, row_ids: Sequence[int], rows: jax.Array,
+            labels: Optional[Sequence[int]] = None) -> None:
         """Insert buffer rows ``row_ids`` with embeddings ``rows`` (B, D).
 
         ``rows`` may be PADDED past ``len(row_ids)`` (the engine passes
         its bucketed batch so the assignment matmul compiles once per
-        bucket); trailing rows are ignored."""
+        bucket); trailing rows are ignored. ``labels`` (aligned with
+        ``row_ids``) skips the assignment dispatch when the caller has
+        already assigned the batch — :class:`ShardedOnlineIVF` assigns
+        once against the shared centroids instead of once per shard."""
         if len(row_ids) > int(rows.shape[0]):
             raise ValueError(f"{len(row_ids)} ids vs {rows.shape[0]} rows")
         if not row_ids:
             return
-        labels = np.asarray(self._assign_rows(rows))[: len(row_ids)]
+        if labels is None:
+            labels = np.asarray(self._assign_rows(rows))[: len(row_ids)]
+        else:
+            if len(labels) < len(row_ids):
+                raise ValueError(f"{len(labels)} labels vs "
+                                 f"{len(row_ids)} ids")
+            labels = np.asarray(labels, np.int32)[: len(row_ids)]
         for rid, ci in zip(row_ids, labels):
             rid, ci = int(rid), int(ci)
             if rid in self._loc:
@@ -730,8 +740,8 @@ def build_ivf_sharded(
     shard_map)."""
     n = int(gallery.shape[0])
     if n_shards < 1 or n % n_shards:
-        raise ValueError(f"gallery rows ({n}) must divide n_shards "
-                         f"({n_shards}); pad the gallery")
+        raise ValueError(f"gallery rows ({n}) must be divisible by "
+                         f"n_shards ({n_shards}); pad the gallery")
     n_local = n // n_shards
     locals_ = [
         build_ivf(gallery[s * n_local: (s + 1) * n_local], n_clusters,
@@ -784,14 +794,9 @@ def _ivf_sharded_jit(queries, centroids, row_ids, gallery, mask=None,
     """
     from jax.sharding import PartitionSpec as P
 
-    try:  # jax >= 0.5 public namespace
-        shard_map = jax.shard_map
-    except AttributeError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _sm
+    from art_sbir_tpu.ops.sharded import lexsort_topk_merge, resolve_shard_map
 
-        shard_map = _sm
-
-    nq = queries.shape[0]
+    shard_map = resolve_shard_map()
     n_dev = int(mesh.shape[ax])
     n = n_dev * n_local
 
@@ -820,11 +825,7 @@ def _ivf_sharded_jit(queries, centroids, row_ids, gallery, mask=None,
         out_specs=(P(ax), P(ax)),
     )(*args)
 
-    vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
-    idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
-    order = jnp.lexsort((idx_all, vals_all), axis=-1)[:, :k]
-    return (jnp.take_along_axis(vals_all, order, axis=-1),
-            jnp.take_along_axis(idx_all, order, axis=-1))
+    return lexsort_topk_merge(pv, pi, k)
 
 
 def ivf_search_sharded(
@@ -966,15 +967,17 @@ class ShardedOnlineIVF:
         groups: dict = {}
         for pos, rid in enumerate(row_ids):
             groups.setdefault(int(rid) // self.cap_local, []).append(pos)
-        b = int(rows.shape[0])
+        # ONE assignment dispatch + host pull for the whole batch: the
+        # shards share centroids, so per-shard assigns would pay S
+        # identical matmul dispatches (and S compiles of the same tiny
+        # program) per add on a tunnel where each costs a full RTT.
+        labels = np.asarray(
+            self.shards[0]._assign_rows(rows))[: len(row_ids)]
         for s in sorted(groups):
             poss = groups[s]
-            # keep the bucketed width so the per-shard assignment matmul
-            # compiles once per bucket, like OnlineIVF.add
-            sel = jnp.asarray(poss + [0] * (b - len(poss)), jnp.int32)
             self.shards[s].add(
                 [int(row_ids[p]) % self.cap_local for p in poss],
-                jnp.take(rows, sel, axis=0))
+                rows, labels=[int(labels[p]) for p in poss])
         self._snap = None
 
     def remove(self, row_id: int) -> None:
@@ -1050,8 +1053,8 @@ def build_ivf_sharded_online(
     (the engine's layout)."""
     capacity = int(gallery_buffer.shape[0])
     if n_shards < 1 or capacity % n_shards:
-        raise ValueError(f"buffer capacity ({capacity}) must divide "
-                         f"n_shards ({n_shards}); pad the buffer")
+        raise ValueError(f"buffer capacity ({capacity}) must be divisible "
+                         f"by n_shards ({n_shards}); pad the buffer")
     if n_valid < 1:
         raise ValueError("online IVF needs >= 1 initial live row to "
                          "cluster (capacity-only cold starts should "

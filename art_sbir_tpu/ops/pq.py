@@ -322,14 +322,20 @@ def build_ivf_pq_sharded(
         return (g[s * n_local + lo: s * n_local + hi]
                 - jnp.take(index.centroids[s], labels[s][lo:hi], axis=0))
 
-    # pooled sample: proportional per shard so no shard dominates the fit
+    # pooled sample: proportional per shard so no shard dominates the fit.
+    # Gather the sampled rows/centroids directly (like build_ivf_pq) so
+    # the full (n_local, D) residual matrix never materializes — this is
+    # the extreme-capacity build path.
     per = max(1, min(sample // s_count, n_local))
     rng = jax.random.PRNGKey(seed + 1)
     parts = []
     for s in range(s_count):
         sel = jax.random.choice(jax.random.fold_in(rng, s), n_local,
                                 (per,), replace=False)
-        parts.append(jnp.take(_residual(s, 0, n_local), sel, axis=0))
+        rows_s = jnp.take(g, sel + s * n_local, axis=0)
+        cent_s = jnp.take(index.centroids[s],
+                          jnp.take(labels[s], sel, axis=0), axis=0)
+        parts.append(rows_s - cent_s)
     base = train_pq(jnp.concatenate(parts), m, k_codes=k_codes,
                     metric="euclidean", iters=iters, seed=seed,
                     sample=sample, opq_iters=opq_iters)
@@ -355,14 +361,9 @@ def _ivf_pq_sharded_jit(queries, centroids, row_ids, codes, cb_cent,
     — full probe + full rerank reproduces the exact path's tie order."""
     from jax.sharding import PartitionSpec as P
 
-    try:  # jax >= 0.5 public namespace
-        shard_map = jax.shard_map
-    except AttributeError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _sm
+    from art_sbir_tpu.ops.sharded import lexsort_topk_merge, resolve_shard_map
 
-        shard_map = _sm
-
-    nq = queries.shape[0]
+    shard_map = resolve_shard_map()
     n_dev = int(mesh.shape[ax])
     n = n_dev * n_local
 
@@ -396,11 +397,7 @@ def _ivf_pq_sharded_jit(queries, centroids, row_ids, codes, cb_cent,
         # checker rejects the mixed carry (same waiver as ops/quant.py)
     )(*args)
 
-    vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
-    idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
-    order = jnp.lexsort((idx_all, vals_all), axis=-1)[:, :k]
-    return (jnp.take_along_axis(vals_all, order, axis=-1),
-            jnp.take_along_axis(idx_all, order, axis=-1))
+    return lexsort_topk_merge(pv, pi, k)
 
 
 def ivf_pq_search_sharded(

@@ -296,7 +296,7 @@ def retrieve_quantized_sharded(
     n = qg.q8.shape[0]
     if n % n_dev:
         raise ValueError(
-            f"gallery rows ({n}) must divide the '{ax}' mesh axis "
+            f"gallery rows ({n}) must be divisible by the '{ax}' mesh axis "
             f"({n_dev}); pad the gallery (parallel.mesh.pad_to_multiple)")
     n_local = n // n_dev
     if k > n_local:
@@ -354,15 +354,9 @@ def _quant_sharded_jit(q8, s_q, qf, g8, g_scale, g_sq, gallery_f32, *,
     from jax.sharding import PartitionSpec as P
 
     from art_sbir_tpu.ops.retrieval_pallas import quant_candidates_fused
+    from art_sbir_tpu.ops.sharded import lexsort_topk_merge, resolve_shard_map
 
-    try:  # jax >= 0.5 moved shard_map to the public namespace
-        shard_map = jax.shard_map
-    except AttributeError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _sm
-
-        shard_map = _sm
-
-    nq = q8.shape[0]
+    shard_map = resolve_shard_map()
     n_dev = int(mesh.shape[ax])
 
     def worker(q8_r, sq_r, qf_r, g8_s, sc_s, gsq_s, gal_s):
@@ -391,11 +385,7 @@ def _quant_sharded_jit(q8, s_q, qf, g8, g_scale, g_sq, gallery_f32, *,
         check_vma=False,  # pallas_call out_shapes carry no vma annotations
     )(q8, s_q, qf, g8, g_scale, g_sq, gallery_f32)
 
-    vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
-    idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
-    order = jnp.lexsort((idx_all, vals_all), axis=-1)[:, :k]
-    vals = jnp.take_along_axis(vals_all, order, axis=-1)
-    idx = jnp.take_along_axis(idx_all, order, axis=-1)
+    vals, idx = lexsort_topk_merge(pv, pi, k)
     return vals, idx, jnp.min(pc, axis=0)
 
 

@@ -819,21 +819,16 @@ def _sharded_core_jit(
     """
     from jax.sharding import PartitionSpec as P
 
-    try:  # jax >= 0.5 moved shard_map to the public namespace
-        shard_map = jax.shard_map
-    except AttributeError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _sm
+    from art_sbir_tpu.ops.sharded import lexsort_topk_merge, resolve_shard_map
 
-        shard_map = _sm
-
+    shard_map = resolve_shard_map()
     ax = axis_name or mesh.axis_names[0]
     n_dev = int(mesh.shape[ax])
-    nq = queries.shape[0]
     n = gallery.shape[0]
     if n % n_dev:
         raise ValueError(
-            f"gallery rows ({n}) must divide the '{ax}' mesh axis ({n_dev});"
-            " pad the gallery (see parallel.mesh.pad_to_multiple)")
+            f"gallery rows ({n}) must be divisible by the '{ax}' mesh axis "
+            f"({n_dev}); pad the gallery (see parallel.mesh.pad_to_multiple)")
     n_local = n // n_dev
 
     # replicated query-side inputs with the exact global op order; the
@@ -868,11 +863,7 @@ def _sharded_core_jit(
     )(queries, qq, d2pos, pos_i32, gallery)
 
     ranks = jnp.sum(pr, axis=0)
-    vals_all = jnp.moveaxis(pv, 0, 1).reshape(nq, n_dev * k)
-    idx_all = jnp.moveaxis(pi, 0, 1).reshape(nq, n_dev * k)
-    order = jnp.lexsort((idx_all, vals_all), axis=-1)[:, :k]
-    vals = jnp.take_along_axis(vals_all, order, axis=-1)
-    idx = jnp.take_along_axis(idx_all, order, axis=-1)
+    vals, idx = lexsort_topk_merge(pv, pi, k)
     exact = jnp.min(pe, axis=0)
     return ranks, vals, idx, exact
 

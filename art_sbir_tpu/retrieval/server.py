@@ -238,9 +238,9 @@ class RetrievalEngine:
             n_shards = int(mesh.shape[ax])
             if rows % n_shards:
                 raise ValueError(
-                    f"gallery rows {rows} (pad with capacity=) must divide "
-                    f"the mesh's first axis ({n_shards}) for row-sharded "
-                    "serving")
+                    f"gallery rows {rows} (pad with capacity=) must be "
+                    f"divisible by the mesh's first axis ({n_shards}) for "
+                    "row-sharded serving")
             self.gallery = jax.device_put(
                 self.gallery, gallery_sharding(mesh, axis_name=ax))
             self._mask = jax.device_put(

@@ -131,9 +131,13 @@ def main() -> None:
     if args.n_devices > 1:
         from art_sbir_tpu.parallel import data_mesh
 
-        if args.gallery % args.n_devices:
-            raise SystemExit(f"--gallery {args.gallery} must divide "
-                             f"--n_devices {args.n_devices}")
+        # the engine shards the RESIDENT row count: capacity (gallery+64)
+        # under --churn, the raw gallery otherwise
+        rows = args.gallery + 64 if args.churn else args.gallery
+        if rows % args.n_devices:
+            raise SystemExit(
+                f"resident rows {rows} ({'--gallery + 64 churn capacity' if args.churn else '--gallery'}) "
+                f"must be divisible by --n_devices {args.n_devices}")
         mesh = data_mesh(args.n_devices)
     engine = RetrievalEngine(
         forward, gallery, [f"img_{i}" for i in range(args.gallery)],

@@ -467,7 +467,7 @@ def test_sharded_validation_and_edges():
     s = mesh.devices.size
     rng = np.random.default_rng(8)
     g = rng.standard_normal((16 * s, 8)).astype(np.float32)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         build_ivf_sharded(jnp.asarray(g[:-1]), s, 2)
     sidx = build_ivf_sharded(jnp.asarray(g), s, 2, iters=3)
     q = jnp.asarray(g[:3])
@@ -589,7 +589,7 @@ def test_sharded_online_validation():
     s = mesh.devices.size
     rng = np.random.default_rng(14)
     buf = rng.standard_normal((s * 8, 8)).astype(np.float32)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         build_ivf_sharded_online(jnp.asarray(buf[:-1]), 4, s, 2)
     with pytest.raises(ValueError, match="initial live row"):
         build_ivf_sharded_online(jnp.asarray(buf), 0, s, 2)

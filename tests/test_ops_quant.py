@@ -353,7 +353,7 @@ def test_quantized_sharded_guards(rng):
     gal = rng.standard_normal((1024, 32)).astype(np.float32)
     qg = quantize_gallery(jnp.asarray(gal))
     qs = jnp.asarray(gal[:4])
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="divisible by"):
         retrieve_quantized_sharded(
             qs, quantize_gallery(jnp.asarray(gal[:1020])),
             jnp.asarray(gal[:1020]), _mesh8(), k=4)

@@ -180,7 +180,7 @@ def test_fused_sharded_rejects_ragged_gallery(rng):
     from art_sbir_tpu.ops.retrieval_pallas import retrieve_fused_sharded
 
     gal = rng.standard_normal((1003, 16)).astype(np.float32)  # 1003 % 8 != 0
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="divisible by"):
         retrieve_fused_sharded(
             jnp.zeros((4, 16)), jnp.array(gal),
             jnp.zeros((4,), jnp.int32), _mesh8(), interpret=True)

@@ -467,7 +467,7 @@ def test_engine_sharded_requires_divisible_rows(tiny_engine):
     from art_sbir_tpu.retrieval.server import RetrievalEngine
 
     eng, _ = tiny_engine
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         RetrievalEngine(eng._forward, np.asarray(eng.gallery[:6]),
                         eng.image_paths[:6], image_size=16,
                         mesh=data_mesh(8))
