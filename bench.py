@@ -56,15 +56,33 @@ def measure_rtt() -> float:
 
 def honest_timeit(fn, q, reps: int, rtt: float) -> float:
     """Seconds per call of fn(q) -> (ranks, ...). Chains q on the previous
-    output (in-order execution), one final transfer, RTT subtracted."""
-    out = fn(q)
-    _ = np.asarray(out[0])  # compile + drain
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(q)
-        q = q + (out[0][0] * 0).astype(q.dtype)
-    _ = np.asarray(out[0])
-    return max(time.perf_counter() - t0 - rtt, 1e-9) / reps
+    output (in-order execution), one final transfer, RTT subtracted.
+
+    ``reps`` is a starting point: the loop RESCALES it until device
+    compute dominates the tunnel RTT (total >= 5x RTT). Without this,
+    cheap configs measure RTT-estimation noise instead of compute —
+    observed: the 10k XLA retrieve at reps=5 (~3 ms compute vs ~35 ms
+    RTT) returned 0.03 ms/call in one round (-> an absurd 17M qps
+    headline) purely because that loop's actual RTT ran below the
+    ``measure_rtt`` median; min-of-rounds then amplified the glitch."""
+
+    def run(n):
+        qq, out = q, None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(qq)
+            qq = qq + (out[0][0] * 0).astype(q.dtype)
+        _ = np.asarray(out[0])
+        return time.perf_counter() - t0
+
+    _ = np.asarray(fn(q)[0])  # compile + drain
+    while True:
+        total = run(reps)
+        if total >= 5.0 * rtt or reps >= 4096:
+            # even at the cap, never let RTT noise eat >20% of the loop
+            return max(total - rtt, 0.2 * total) / reps
+        scale = (6.0 * rtt) / max(total, 1e-6)
+        reps = min(max(reps * 2, int(reps * scale)), 4096)
 
 
 def bench_retrieval(rtt: float) -> dict:
