@@ -357,7 +357,6 @@ def _quant_sharded_jit(q8, s_q, qf, g8, g_scale, g_sq, gallery_f32, *,
     from art_sbir_tpu.ops.sharded import lexsort_topk_merge, resolve_shard_map
 
     shard_map = resolve_shard_map()
-    n_dev = int(mesh.shape[ax])
 
     def worker(q8_r, sq_r, qf_r, g8_s, sc_s, gsq_s, gal_s):
         off = jax.lax.axis_index(ax) * n_local
