@@ -170,26 +170,10 @@ def make_handler(engine, batcher):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {
-                    "status": "ok",
-                    "gallery_size": int(engine.n_valid),
-                    "capacity": engine.capacity,
-                    "metric": engine.metric,
-                    "image_size": engine.image_size,
-                    "k_max": engine.k_max,
-                    **({"ivf": {**engine._ivf.stats(),
-                                "nprobe": engine._ivf_nprobe}}
-                       if engine._ivf is not None else {}),
-                    **({"pq": {
-                        "m": engine._pq[0].m,
-                        "k_codes": engine._pq[0].k_codes,
-                        "bytes_per_row": engine._pq[0].m,
-                        "rows_resident": (
-                            str(engine.gallery.dtype)
-                            if engine.gallery is not None else "dropped"),
-                        "rerank_factor": engine._rerank_factor}}
-                       if getattr(engine, "_pq", None) is not None else {}),
-                })
+                # one locked engine snapshot: a lock-free _ivf.stats()
+                # racing add_images could cache a stale cluster view
+                # into the search path (ADVICE r3)
+                self._json(200, engine.health_stats())
             elif self.path == "/stats":
                 self._json(200, batcher.stats.snapshot())
             else:

@@ -452,6 +452,20 @@ def _set_spill(arr: jax.Array, j: jax.Array, v: jax.Array) -> jax.Array:
     return arr.at[j].set(v)
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _assign_online(rows: jax.Array, centroids: jax.Array, *,
+                   metric: str) -> jax.Array:
+    """Nearest shared centroid per row (spherical for cosine). Module
+    level so centroids ride in as an ARGUMENT — closing over them in a
+    per-instance jit bakes a multi-MB constant into the HLO (the remote
+    compiler rejects large constants, CLAUDE.md) and compiles one copy
+    per OnlineIVF instance (one per shard under ShardedOnlineIVF)."""
+    rf = jnp.asarray(rows, jnp.float32)
+    rx = _l2n(rf) if metric == "cosine" else rf
+    d2 = pairwise_sq_l2(rx, centroids, precision="default")
+    return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+
 class OnlineIVF:
     """Mutable IVF over a fixed-capacity gallery buffer (the serving
     engine's ``capacity=`` mode).
@@ -510,14 +524,8 @@ class OnlineIVF:
         self.row_ids = jnp.asarray(table)
         self.spill = jnp.asarray(self._spill_np)
 
-        @jax.jit
-        def assign(rows: jax.Array) -> jax.Array:
-            rf = jnp.asarray(rows, jnp.float32)
-            rx = _l2n(rf) if self.metric == "cosine" else rf
-            d2 = pairwise_sq_l2(rx, self.centroids, precision="default")
-            return jnp.argmin(d2, axis=1).astype(jnp.int32)
-
-        self._assign_rows = assign
+    def _assign_rows(self, rows: jax.Array) -> jax.Array:
+        return _assign_online(rows, self.centroids, metric=self.metric)
 
     @property
     def nlist(self) -> int:
@@ -546,12 +554,20 @@ class OnlineIVF:
                 raise ValueError(f"{len(labels)} labels vs "
                                  f"{len(row_ids)} ids")
             labels = np.asarray(labels, np.int32)[: len(row_ids)]
-        for rid, ci in zip(row_ids, labels):
-            rid, ci = int(rid), int(ci)
-            if rid in self._loc:
+        # Validate the WHOLE batch (range + duplicates, incl. intra-batch)
+        # before touching any table/spill state, so a bad id mid-batch
+        # can't leave a half-inserted batch behind (atomic for direct
+        # library callers; the engine pre-validates slots anyway).
+        batch_seen: set = set()
+        for rid in row_ids:
+            rid = int(rid)
+            if rid in self._loc or rid in batch_seen:
                 raise ValueError(f"row {rid} already indexed")
             if not 0 <= rid < self.capacity:
                 raise ValueError(f"row id {rid} outside [0, {self.capacity})")
+            batch_seen.add(rid)
+        for rid, ci in zip(row_ids, labels):
+            rid, ci = int(rid), int(ci)
             if self._free_t[ci]:
                 j = self._free_t[ci].pop()
                 self.row_ids = _set_table(self.row_ids, jnp.int32(ci),
@@ -960,10 +976,19 @@ class ShardedOnlineIVF:
             raise ValueError(f"{len(row_ids)} ids vs {rows.shape[0]} rows")
         if not row_ids:
             return
+        # Validate the WHOLE batch before committing any shard: per-shard
+        # commits are sequential, so a bad id routed to a later shard must
+        # not leave earlier shards already mutated (atomic batch add).
+        batch_seen: set = set()
         for rid in row_ids:
-            if not 0 <= int(rid) < self.capacity:
+            rid = int(rid)
+            if not 0 <= rid < self.capacity:
                 raise ValueError(
                     f"row id {rid} outside [0, {self.capacity})")
+            s, local = divmod(rid, self.cap_local)
+            if local in self.shards[s]._loc or rid in batch_seen:
+                raise ValueError(f"row {rid} already indexed")
+            batch_seen.add(rid)
         groups: dict = {}
         for pos, rid in enumerate(row_ids):
             groups.setdefault(int(rid) // self.cap_local, []).append(pos)

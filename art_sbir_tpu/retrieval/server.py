@@ -732,6 +732,38 @@ class RetrievalEngine:
         vals, idx = self.search_arrays(self.decode(image_bytes)[None])
         return self._result(vals[0], idx[0], k)
 
+    def health_stats(self) -> Dict:
+        """Consistent health/index snapshot for ``/healthz`` — taken
+        under the engine lock. A lock-free read could call
+        ``_ivf.stats()`` while ``add_images`` mutates shard tables:
+        ``snapshot()`` caches lazily into ``_snap``, so a racing build
+        could capture pre-mutation tables but be STORED after the
+        mutation cleared ``_snap``, and searches would then serve a
+        stale cluster view until the next mutation."""
+        with self._lock:
+            out: Dict = {
+                "status": "ok",
+                "gallery_size": int(self.n_valid),
+                "capacity": self.capacity,
+                "metric": self.metric,
+                "image_size": self.image_size,
+                "k_max": self.k_max,
+            }
+            if self._ivf is not None:
+                out["ivf"] = {**self._ivf.stats(),
+                              "nprobe": self._ivf_nprobe}
+            if getattr(self, "_pq", None) is not None:
+                out["pq"] = {
+                    "m": self._pq[0].m,
+                    "k_codes": self._pq[0].k_codes,
+                    "bytes_per_row": self._pq[0].m,
+                    "rows_resident": (str(self.gallery.dtype)
+                                      if self.gallery is not None
+                                      else "dropped"),
+                    "rerank_factor": self._rerank_factor,
+                }
+            return out
+
     def _result(self, vals: np.ndarray, idx: np.ndarray,
                 k: Optional[int]) -> Dict:
         # int() validates request-supplied k (floats/strings raise HERE,
