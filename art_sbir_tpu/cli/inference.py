@@ -14,7 +14,8 @@ import jax
 
 
 def rerun_folder(folder: str, results_root: Path, models_root: Path,
-                 data_root=None, n_devices: int = 1) -> None:
+                 data_root=None, n_devices: int = 1,
+                 bn_recalibrate: str = "off") -> None:
     import jax.numpy as jnp
 
     from art_sbir_tpu.core.checkpoint import load_pytree
@@ -62,13 +63,32 @@ def rerun_folder(folder: str, results_root: Path, models_root: Path,
         print(f"Model {folder} is not available — evaluating fresh init",
               flush=True)
 
-    _, test_cat = get_datasets(
+    train_cat, test_cat = get_datasets(
         dataset=dataset, size=data_dict.get("size", 1.0),
         sketch_type=data_dict.get("sketch_type", "contour_drawings"),
         img_type=data_dict.get("img_type", "photos"),
         img_format=data_dict.get("img_format", "jpg"),
         root=data_root,
     )
+
+    bn_sketch_stats = None
+    if bn_recalibrate != "off":
+        from art_sbir_tpu.train.bn import recalibrate_from_catalog
+
+        out = recalibrate_from_catalog(
+            model.apply, state.params, state.batch_stats, train_cat,
+            mode=bn_recalibrate, image_size=image_size,
+            resize_mode=(param_dict.get("resize_mode")
+                         or getattr(train_cat, "resize_mode", "square")),
+            batch_size=int(param_dict.get("batch_size", 32)),
+        )
+        if bn_recalibrate == "mixed":
+            state = state.replace(batch_stats=out)
+        else:
+            bn_sketch_stats, photo_stats = out
+            state = state.replace(batch_stats=photo_stats)
+        print(f"BN running stats recalibrated ({bn_recalibrate})",
+              flush=True)
 
     def forward(images_uint8):
         x = finish_gallery_batch(images_uint8)
@@ -77,6 +97,16 @@ def rerun_folder(folder: str, results_root: Path, models_root: Path,
             train=False,
         )
         return out[0] if isinstance(out, tuple) else out
+
+    query_forward = None
+    if bn_sketch_stats is not None:
+        def query_forward(images_uint8):
+            x = finish_gallery_batch(images_uint8)
+            out = model.apply(
+                {"params": state.params, "batch_stats": bn_sketch_stats},
+                x, train=False,
+            )
+            return out[0] if isinstance(out, tuple) else out
 
     mesh = None
     if n_devices != 1:
@@ -91,7 +121,8 @@ def rerun_folder(folder: str, results_root: Path, models_root: Path,
     inference_dict = run_inference(forward, test_cat, None, loss_type,
                                    image_size=image_size,
                                    resize_mode=resize_mode,
-                                   model_name=type(model).__name__, mesh=mesh)
+                                   model_name=type(model).__name__, mesh=mesh,
+                                   query_forward_fn=query_forward)
     (run_dir / "inference_updated.json").write_text(
         json.dumps(inference_dict, indent=4, default=float)
     )
@@ -112,6 +143,11 @@ def main(argv=None) -> None:
     p.add_argument("--n_devices", type=int, default=1,
                    help="data-parallel devices for the embedding sweep "
                         "(1 = single device, -1 = all available)")
+    p.add_argument("--bn_recalibrate", default="off",
+                   choices=["off", "mixed", "per_modality"],
+                   help="recalibrate BatchNorm running stats over the "
+                        "run's TRAIN split before evaluating (train.bn; "
+                        "PERF.md 'BN recalibration')")
     args = p.parse_args(argv)
 
     results_root = Path(args.results_root)
@@ -121,7 +157,8 @@ def main(argv=None) -> None:
     print(folders, flush=True)
     for folder in folders:
         rerun_folder(folder, results_root, Path(args.models_root),
-                     args.data_root, n_devices=args.n_devices)
+                     args.data_root, n_devices=args.n_devices,
+                     bn_recalibrate=args.bn_recalibrate)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 compute / f32 params (the TPU-native "
                         "default); --no-bf16 runs full-f32 compute, e.g. "
                         "for strict cross-sharding equality checks")
+    p.add_argument("--bn_recalibrate", default="off",
+                   choices=["off", "mixed", "per_modality"],
+                   help="post-training BatchNorm recalibration over a "
+                        "train-split sketch+photo sweep (from-scratch "
+                        "bimodal training; PERF.md 'BN recalibration'): "
+                        "'mixed' replaces the running stats with balanced "
+                        "population stats; 'per_modality' additionally "
+                        "embeds queries with sketch-population stats and "
+                        "the gallery with photo-population stats")
+    p.add_argument("--bn_sweep_batches", type=int, default=64,
+                   help="max recalibration batches per modality")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="epoch-tagged resumable checkpoints (orbax)")
@@ -328,6 +339,26 @@ def main(argv=None) -> Path:
                 device_batches(test_cat, False), start_epoch=start_epoch,
             )
 
+    bn_sketch_stats = None
+    if args.bn_recalibrate != "off":
+        from art_sbir_tpu.train.bn import recalibrate_from_catalog
+
+        out = recalibrate_from_catalog(
+            model.apply, state.params, state.batch_stats, train_cat,
+            mode=args.bn_recalibrate, image_size=args.image_size,
+            resize_mode=resize_mode
+            or getattr(train_cat, "resize_mode", "square"),
+            batch_size=args.batch_size, max_batches=args.bn_sweep_batches,
+        )
+        if args.bn_recalibrate == "mixed":
+            state = state.replace(batch_stats=out)
+        else:  # per_modality: gallery default = photo-population stats
+            bn_sketch_stats, photo_stats = out
+            state = state.replace(batch_stats=photo_stats)
+        training_dict["bn_recalibrate"] = args.bn_recalibrate
+        print(f"BN running stats recalibrated ({args.bn_recalibrate})",
+              flush=True)
+
     inference_dict = {}
     if args.inference:
         def forward(images_uint8):
@@ -337,6 +368,16 @@ def main(argv=None) -> Path:
                 x, train=False,
             )
             return out[0] if isinstance(out, tuple) else out
+
+        query_forward = None
+        if bn_sketch_stats is not None:
+            def query_forward(images_uint8):
+                x = finish_gallery_batch(images_uint8)
+                out = model.apply(
+                    {"params": state.params,
+                     "batch_stats": bn_sketch_stats}, x, train=False,
+                )
+                return out[0] if isinstance(out, tuple) else out
 
         kq = None
         name = test_cat.state_dict["dataset"]
@@ -350,6 +391,7 @@ def main(argv=None) -> Path:
             forward, test_cat, args.feature_folder, args.loss_type,
             image_size=args.image_size, resize_mode=resize_mode,
             model_name=type(model).__name__, kaggle_queries=kq, mesh=mesh,
+            query_forward_fn=query_forward,
         )
 
     writer = ResultsWriter(type(model).__name__, data_dict["dataset"],
@@ -357,6 +399,12 @@ def main(argv=None) -> Path:
     if training_dict:
         save_pytree(Path("models") / writer.run_name,
                     {"params": state.params, "batch_stats": state.batch_stats})
+        if bn_sketch_stats is not None:
+            # per-modality: main export carries photo-population stats
+            # (gallery default, load-compatible); the sketch set rides in
+            # a sibling export for query-side embedding
+            save_pytree(Path("models") / f"{writer.run_name}_bn_sketch",
+                        {"batch_stats": bn_sketch_stats})
         print(f"Model saved as {writer.run_name}", flush=True)
     writer.write_all(data_dict, training_dict, param_dict, inference_dict)
     visualize(writer.path, training_dict, inference_dict)

@@ -40,10 +40,16 @@ def run_inference(
     kaggle_queries=None,
     save_features: bool = True,
     jit_forward: bool = True,
+    query_forward_fn: Optional[Callable] = None,
 ) -> Dict:
     """``forward_fn`` maps a uint8 (B, S, S, 3) device batch to (B, D)
     embeddings (preprocessing fused inside). ``dataset`` is a test catalog
     with ``sketch_paths`` / ``photo_paths`` / ``state_dict``.
+
+    ``query_forward_fn`` (default: ``forward_fn``) embeds the SKETCH
+    queries — per-modality BN recalibration passes an encoder with
+    sketch-population running stats here while the gallery uses
+    photo-population stats (``train.bn``; VERDICT r3 item 5).
 
     ``resize_mode=None`` resolves the catalog family's reference-parity
     geometry (the reference embeds gallery AND queries — including the
@@ -72,9 +78,11 @@ def run_inference(
             np.asarray(gallery, np.float32), root=feature_root,
         ) if save_features else None
 
+    query_fn = query_forward_fn if query_forward_fn is not None else forward_fn
+
     def _eval(catalog) -> Dict:
         qloader = GalleryLoader(catalog.sketch_paths, image_size, resize_mode)
-        queries = embed_batched(forward_fn, qloader, len(qloader), batch_size,
+        queries = embed_batched(query_fn, qloader, len(qloader), batch_size,
                                 mesh=mesh, return_device=True,
                                 jit_apply=jit_forward)
         return evaluate_retrieval(

@@ -47,6 +47,29 @@ def test_train_cli_end_to_end(sketchy_root, tmp_path, monkeypatch):
     assert any(Path("data/image_features").iterdir())
 
 
+def test_train_cli_bn_recalibrate(sketchy_root, tmp_path, monkeypatch):
+    """--bn_recalibrate per_modality: post-training sweep runs, the
+    training contract records it, queries embed with sketch-population
+    stats (train.bn; VERDICT r3 item 5), and the sketch-stats sibling
+    export lands next to the model."""
+    monkeypatch.chdir(tmp_path)
+    from art_sbir_tpu.cli.train import main
+
+    out = main([
+        "-e", "1", "-b", "4", "-d", "SketchyV1",
+        "--model_type", "ModifiedResNet", "--width", "8",
+        "--layers", "1", "1", "1", "1",
+        "--data_root", str(sketchy_root), "--image_size", "64",
+        "--inference", "--bn_recalibrate", "per_modality",
+        "--results_root", str(tmp_path / "results"),
+    ])
+    training = json.loads((out / "training.json").read_text())
+    assert training["bn_recalibrate"] == "per_modality"
+    inference = json.loads((out / "inference.json").read_text())
+    assert 0.0 <= inference["mean_reciprocal_rank"] <= 1.0
+    assert (Path("models") / f"{out.name}_bn_sketch").is_dir()
+
+
 def test_visualize_contract(tmp_path):
     from art_sbir_tpu.viz.plots import visualize
 
