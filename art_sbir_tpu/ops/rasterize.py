@@ -60,24 +60,44 @@ def _prepare_single(stroke: jax.Array, is_stroke5: bool) -> tuple[jax.Array, jax
     pen_ext = jnp.concatenate([jnp.zeros((1,), pen.dtype), pen], axis=0)
     valid_ext = jnp.concatenate([jnp.ones((1,), bool), valid], axis=0)
 
-    pts = jnp.cumsum(xy_ext, axis=0)
-    big = jnp.float32(1e30)
-    lo = jnp.min(jnp.where(valid_ext[:, None], pts, big), axis=0)
-    hi = jnp.max(jnp.where(valid_ext[:, None], pts, -big), axis=0)
-    rng = jnp.where(hi - lo > 0, hi - lo, 1.0)  # reference divides by zero here
-    scaled = (pts - lo) / rng * (HI - LO) + LO
-    # The reference scales in float64 where integer stroke deltas land
-    # *exactly* on integers; f32 (and XLA's reciprocal-multiply division) can
-    # come out a hair below and truncate one pixel low. Nudge by 1e-3 before
-    # the trunc so the common integer-landing case matches; genuine values
-    # within 1e-3 below an integer are vanishingly rare in stroke data.
-    # Measured contract (scripts/probe_raster_bound.py, goldens/
-    # raster_device_{cpu,tpu}.json): integer stroke deltas (QuickDraw) are
-    # EXACT under the nudge (2048/2048 sketches, both backends);
-    # continuous deltas show ~13% of sketches with >=1 flipped segment
-    # endpoint (mean 3 px post-dilate) — those corpora (SVG/Sketchy) route
-    # through prepare_points_host caches in production.
-    ipts = (scaled + 1e-3).astype(jnp.int32)  # trunc toward zero; values >= 30
+    # The reference normalizes in float64 (np.vstack promotes the f32
+    # strokes, rasterize.py:170-181); f32 on device flipped the trunc for
+    # ~13% of continuous-delta sketches (round-2 goldens). Run the O(T)
+    # normalization in f64 — native on CPU, float-float EMULATED by
+    # XLA:TPU (div/mul/cumsum all measured <=4e-14 relative, round 4) —
+    # then take the floor EXPLICITLY. The naive `.astype(int32)` is NOT
+    # safe on TPU: the emulation's f64->s32 cast resolves through the
+    # float-float HI component, which ROUNDS any value within an f32
+    # half-ulp of an integer (measured: scaled = 216.99999623 -> hi
+    # 217.0f -> 217, vs the host oracle's 216). Floor-with-correction
+    # below fixes that cast bug exactly; the +1e-9 landing guard then
+    # absorbs the emulation's own ~1e-13 jitter at values that land
+    # EXACTLY on integers (per-axis extremes -> 30/225, and integer-delta
+    # landings where range | 195*(pt-lo)). Divergence from the host
+    # oracle now requires the exact rational value to sit within 1e-9
+    # BELOW an integer — probability ~1e-9/point for continuous deltas,
+    # impossible for non-landing integer deltas; both families measure
+    # frac_sketches_exact = 1.0 on both backends
+    # (goldens/raster_device_*.json, scripts/probe_raster_bound.py).
+    # The O(T*H*W) coverage test below stays in int32/f32.
+    with jax.enable_x64(True):
+        pts64 = jnp.cumsum(xy_ext.astype(jnp.float64), axis=0)
+        big = jnp.float64(1e30)
+        lo = jnp.min(jnp.where(valid_ext[:, None], pts64, big), axis=0)
+        hi = jnp.max(jnp.where(valid_ext[:, None], pts64, -big), axis=0)
+        # reference divides by zero here; keep the guarded form
+        rng = jnp.where(hi - lo > 0, hi - lo, jnp.float64(1.0))
+        scaled = (pts64 - lo) / rng * jnp.float64(HI - LO) + jnp.float64(LO)
+        # floor(scaled + 1e-9) without trusting the cast: any sane cast
+        # lands within +-1 of the true floor; int->f64 is exact for these
+        # magnitudes and float-float comparisons are accurate to ~1e-13,
+        # so the two corrections decide the boundary exactly vs the guard
+        c0 = scaled.astype(jnp.int32)
+        cf = c0.astype(jnp.float64)
+        s9 = scaled + jnp.float64(1e-9)
+        ipts = (c0
+                - (cf > s9).astype(jnp.int32)
+                + (cf + 1.0 <= s9).astype(jnp.int32))
 
     seg_draw = valid & (pen_ext[:-1] == 0)
     return ipts, seg_draw
@@ -180,8 +200,8 @@ def rasterize_points(
 def prepare_points_host(batch) -> tuple:
     """Float64 host mirror of :func:`prepare_points` — EXACT reference
     scaling semantics (the reference normalizes in numpy float64,
-    rasterize.py:170-191, where integer-landing values never truncate low;
-    the device path's f32 ``+1e-3`` nudge is a heuristic). Use this to
+    rasterize.py:170-191; the device path now matches it in device f64,
+    measured exact on both backends — see the probe). Use this to
     pre-compute integer canvas points for dataset caches
     (`data/vector_sketchy.py`), then rasterize on device with
     :func:`rasterize_points` — the combination is bit-exact vs the oracle

@@ -1,14 +1,15 @@
-"""Quantify the device rasterizer's f32 +1e-3 trunc nudge against the
-float64 host-exact path (VERDICT r2 item 5).
+"""Verify the all-device rasterizer is EXACT against the float64
+host-exact path for both stroke families (VERDICT r3 item 4).
 
-`ops/rasterize.py::prepare_points` normalizes stroke coordinates in f32 on
-device; the reference normalizes in float64 (rasterize.py:170-191) where
-integer-landing values never truncate low. The +1e-3 nudge makes the common
-integer-landing case match; this probe MEASURES the residual over a large
-seeded corpus so the heuristic is a quantified contract, not a hope:
+`ops/rasterize.py::prepare_points` runs the reference's float64 range
+normalization (rasterize.py:170-191) ON DEVICE — native f64 on CPU,
+float-float emulated by XLA:TPU (~1e-14 relative) — then truncs with no
+nudge; a mismatch vs the host oracle would need the exact rational value
+within ~3e-12 of an integer. This probe MEASURES that contract over a
+large seeded corpus per family:
 
-* integer-delta strokes (QuickDraw-style): the adversarial case where
-  scaled points land exactly on integers;
+* integer-delta strokes (QuickDraw-style): scaled points sit >= 1/range
+  from a trunc boundary except exact integer landings;
 * float-delta strokes (SVG/Sketchy-style continuous deltas).
 
 For each family: rasterize via the pure-device path (`rasterize_strokes`)

@@ -114,20 +114,17 @@ def test_vector_sketchy_serves_exact_raster_points(tmp_path):
 
 
 def test_device_path_mismatch_bound_golden():
-    """The all-device f32 path's +1e-3 trunc nudge is a QUANTIFIED contract
-    (VERDICT r2 item 5), not a hope: scripts/probe_raster_bound.py measures
-    the mismatch vs the float64 host-exact path over a 1024-sketch seeded
-    corpus per stroke family and checks the result in as a golden.
-
-    * integer deltas (the QuickDraw on-the-fly path): EXACT — scaled
-      points land on integers, the nudge recovers every f32 trunc-low;
-    * float deltas (SVG/Sketchy): quantified residual — production routes
-      these through host-exact caches (data/vector_sketchy.py), the
-      device path is a preview/sample-sheet convenience.
+    """The all-device path is EXACT for BOTH stroke families (VERDICT r3
+    item 4): prepare_points now runs the O(T) normalization in float64 on
+    device (native on CPU, float-float emulated by XLA:TPU) and truncs
+    with no nudge, so integer-delta (QuickDraw on-the-fly) AND
+    continuous-delta (SVG/Sketchy preview) sketches match the float64
+    host oracle pixel-for-pixel. scripts/probe_raster_bound.py measures
+    this over a seeded corpus per family and checks it in as a golden.
 
     This test re-measures a 64-sketch sub-corpus (same generator, same
-    seeds) on the CPU backend and holds it to the golden's family
-    contracts, so a regression in prepare_points shows up in-suite."""
+    seeds) on the CPU backend and holds both families to exact, so a
+    regression in prepare_points shows up in-suite."""
     import json
     import sys
     from pathlib import Path
@@ -137,10 +134,10 @@ def test_device_path_mismatch_bound_golden():
         "run `python scripts/probe_raster_bound.py --cpu`"
     golden = json.loads(golden_path.read_text())
     fam = golden["families"]
-    # the checked-in contract itself
+    # the checked-in contract itself: exact for both families
     assert fam["integer_deltas"]["frac_sketches_exact"] == 1.0
-    assert fam["float_deltas"]["frac_sketches_exact"] >= 0.85
-    assert fam["float_deltas"]["mean_mismatch_px"] <= 5.0
+    assert fam["float_deltas"]["frac_sketches_exact"] == 1.0
+    assert fam["float_deltas"]["max_mismatch_px"] == 0.0
 
     sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
     try:
@@ -151,5 +148,4 @@ def test_device_path_mismatch_bound_golden():
     stats_int = measure(make_corpus(64, integer=True, seed=7))
     assert stats_int["frac_sketches_exact"] == 1.0, stats_int
     stats_flt = measure(make_corpus(64, integer=False, seed=11))
-    assert stats_flt["frac_sketches_exact"] >= 0.80, stats_flt
-    assert stats_flt["mean_mismatch_px"] <= 8.0, stats_flt
+    assert stats_flt["frac_sketches_exact"] == 1.0, stats_flt
