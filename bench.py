@@ -676,6 +676,27 @@ def main() -> None:
     except Exception as e:  # diagnostic only
         log(f"IVF bench skipped: {e}")
 
+    # headline sourcing rule (PERF.md "headline sourcing"): the README/
+    # SERVING number is the latest driver artifact BENCH_r0N.json; print
+    # the artifact history next to this session so doc drift is visible
+    # in the log itself (round 2 and 3 both shipped a README ~10% off
+    # the canonical artifact).
+    try:
+        import re
+        from pathlib import Path
+
+        hist = []
+        for p in sorted(Path(__file__).parent.glob("BENCH_r*.json")):
+            m = re.search(r'"value": ([0-9.]+)',
+                          json.loads(p.read_text()).get("tail", ""))
+            if m:
+                hist.append(f"{p.name}={float(m.group(1)):,.0f}")
+        log(f"headline history (driver artifacts): {', '.join(hist)} | "
+            f"this session: {qps:,.0f} qps — README quotes the artifact, "
+            f"session numbers are spread context")
+    except Exception as e:
+        log(f"headline-history print skipped: {e}")
+
     print(
         json.dumps(
             {
