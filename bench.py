@@ -338,8 +338,10 @@ def bench_reference_loop(gallery: np.ndarray, queries: np.ndarray) -> float:
 
 def bench_train_step(rtt: float) -> None:
     """Diagnostic: flagship triplet train step (3x RN50 bf16 fwd+bwd +
-    torch-parity Adam in one donated XLA program), batch 32 — the recipe
-    README quotes (~48 ms/step)."""
+    torch-parity Adam in one donated XLA program) at TWO batch sizes —
+    the batch-scaling evidence the training roofline rests on (PERF.md
+    "Training roofline"; VERDICT r3 item 1 asks BENCH to carry
+    triplets/s at >=2 batch sizes)."""
     import time
 
     import jax
@@ -353,21 +355,24 @@ def bench_train_step(rtt: float) -> None:
     state = create_train_state(model, jax.random.key(0), (1, 224, 224, 3))
     step = make_train_step(TripletLossConfig())
     rng = np.random.default_rng(0)
-    batch = {
-        k: jnp.asarray(rng.standard_normal((32, 224, 224, 3)), jnp.float32)
-        for k in ("sketch", "positive", "negative")
-    }
-    state, m = step(state, batch)  # compile
-    _ = float(m["loss"])
-    reps, best = 5, float("inf")
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            state, m = step(state, batch)
-        _ = float(m["loss"])  # host barrier ends the chained reps
-        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9) / reps)
-    log(f"triplet train step (b32, 3x RN50 bf16 fwd+bwd + Adam, donated): "
-        f"{best*1e3:.1f} ms = {32/best:,.0f} triplets/s/chip")
+    for b in (32, 64):
+        batch = {
+            k: jnp.asarray(rng.standard_normal((b, 224, 224, 3)),
+                           jnp.float32)
+            for k in ("sketch", "positive", "negative")
+        }
+        state, m = step(state, batch)  # compile
+        _ = float(m["loss"])
+        reps, best = 5, float("inf")
+        for _ in range(ROUNDS):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state, m = step(state, batch)
+            _ = float(m["loss"])  # host barrier ends the chained reps
+            best = min(best, max(time.perf_counter() - t0 - rtt,
+                                 1e-9) / reps)
+        log(f"triplet train step (b{b}, 3x RN50 bf16 fwd+bwd + Adam, "
+            f"donated): {best*1e3:.1f} ms = {b/best:,.0f} triplets/s/chip")
 
 
 def bench_embed_sweep() -> None:

@@ -5,8 +5,12 @@ rounds (time-shared chip — see CLAUDE.md). Sets the evidence base for
 ``retrieval/rank.py::FUSED_GALLERY_THRESHOLD``.
 
 Run on the real TPU: `python scripts/probe_crossover.py`.
+Pass explicit sizes to probe inside a bracket (VERDICT r3 item 7 —
+the 20-40k gap between the measured 10k/50k endpoints):
+`python scripts/probe_crossover.py --n 20000 30000 40000`.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -30,14 +34,20 @@ def main() -> None:
     rtt = measure_rtt()
     print(f"rtt {rtt*1e3:.1f} ms", file=sys.stderr, flush=True)
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, nargs="+",
+                    default=[10_000, 50_000, 100_000, 200_000, 400_000])
+    ap.add_argument("--q", type=int, nargs="+", default=[512, 4096])
+    args = ap.parse_args()
+
     DIM = 1024
     rows = []
-    for n in (10_000, 50_000, 100_000, 200_000, 400_000):
+    for n in args.n:
         key = jax.random.key(n)
         kg, kq = jax.random.split(key)
         g = jax.random.normal(kg, (n, DIM), jnp.float32)
         gb = g.astype(jnp.bfloat16)
-        for nq in (512, 4096):
+        for nq in args.q:
             q = g[:nq] + 0.1 * jax.random.normal(kq, (nq, DIM), jnp.float32)
             p = jnp.arange(nq, dtype=jnp.int32)
             _ = np.asarray(gb[0, 0])
