@@ -120,7 +120,7 @@ def build_engine(args):
                     rerank_factor=getattr(args, "rerank_factor", 4),
                     rerank_dtype=getattr(args, "rerank_dtype", "float32"),
                     ivf_nlist=getattr(args, "ivf_nlist", None),
-                    ivf_nprobe=getattr(args, "ivf_nprobe", 8),
+                    ivf_nprobe=getattr(args, "ivf_nprobe", 0),
                     pq_m=getattr(args, "pq_m", None),
                     pq_rerank=getattr(args, "pq_rerank", "bfloat16"),
                     pq_rerank_factor=getattr(args, "pq_rerank_factor", 64),
@@ -275,12 +275,17 @@ def main(argv=None):
                         "gallery shard, O(B*k) ICI merge; with both, "
                         "centroids are shared and each shard keeps "
                         "mutable local tables)")
-    p.add_argument("--ivf_nprobe", type=int, default=8,
+    p.add_argument("--ivf_nprobe", type=int, default=0,
                    help="clusters probed per query in --ivf_nlist mode; "
-                        "0 = auto-tune at startup (smallest power of two "
-                        "reaching 95%% recall@k_max on perturbed gallery "
-                        "rows — an optimistic proxy; prefer a measured "
-                        "nprobe when held-out queries exist)")
+                        "0 (default) = auto-tune at startup (smallest "
+                        "power of two reaching 95%% recall@k_max on "
+                        "perturbed gallery rows). The fixed nprobe=8 "
+                        "default was retired in round 4: on TRAINED-"
+                        "encoder embeddings it delivers only 0.84 "
+                        "recall@10 while the auto-tune proxy correctly "
+                        "picks the nprobe real sketch queries need "
+                        "(goldens/ann_learned_tpu.json, PERF.md). Pass a "
+                        "measured nprobe when held-out queries exist")
     p.add_argument("--pq_m", type=int, default=None,
                    help="IVF-PQ (ops/pq.py; requires --ivf_nlist): "
                         "product-quantize the gallery to this many uint8 "

@@ -108,7 +108,7 @@ class RetrievalEngine:
         rerank_factor: int = 4,
         rerank_dtype: str = "float32",
         ivf_nlist: Optional[int] = None,
-        ivf_nprobe: int = 8,
+        ivf_nprobe: int = 0,
         pq_m: Optional[int] = None,
         pq_rerank: str = "bfloat16",
         pq_rerank_factor: int = 64,
@@ -170,9 +170,13 @@ class RetrievalEngine:
         mutable local tables + spill
         (:class:`art_sbir_tpu.ops.ivf.ShardedOnlineIVF`); immutable
         sharded indexes persist via ``index_cache`` like single-device
-        ones). ``ivf_nprobe=0`` auto-tunes at
+        ones). ``ivf_nprobe=0`` (the default) auto-tunes at
         startup (smallest power-of-two nprobe reaching 95% recall@k_max
-        on a perturbed-gallery proxy). No ``quantize``.
+        on a perturbed-gallery proxy) — made the default in round 4
+        after measuring that a fixed nprobe=8 delivers only 0.84
+        recall@10 on trained-encoder embeddings at 50k-gallery scale
+        while the proxy picks the value real sketch queries need
+        (goldens/ann_learned_tpu.json). No ``quantize``.
 
         ``pq_m``: IVF-PQ (:mod:`art_sbir_tpu.ops.pq`) — requires
         ``ivf_nlist``; the gallery is product-quantized to ``pq_m``

@@ -579,15 +579,20 @@ def bench_ivf(rtt: float) -> None:
 
 
 def tpu_reachable(timeout_s: float = 240.0) -> bool:
-    """Probe backend init in a SUBPROCESS with a timeout: when the axon
-    relay is down, ``jax.devices()`` blocks indefinitely in-process (the
-    plugin retries the dial forever), which would hang the whole bench.
-    The child exits before we proceed, so the serialized tunnel is free."""
+    """Probe backend init AND one tiny dispatch in a SUBPROCESS with a
+    timeout: when the axon relay is down, ``jax.devices()`` blocks
+    indefinitely in-process (the plugin retries the dial forever) — and a
+    second failure mode observed in round 4 has init SUCCEED while every
+    device EXECUTION hangs (chip-side outage), so the probe must round-
+    trip an actual computation, not just the backend handshake. The
+    child exits before we proceed, so the serialized tunnel is free."""
     import subprocess
 
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, numpy; "
+             "numpy.asarray(jax.numpy.zeros((8,), jax.numpy.int32) + 1)"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:

@@ -169,8 +169,9 @@ def main() -> None:
     from art_sbir_tpu.data.loader import GalleryLoader
     from art_sbir_tpu.retrieval.embed import embed_batched
 
-    _, test_cat = get_datasets(dataset="SketchyV2", root=str(root),
-                               split_ratio=0.5)
+    # size=1.0: the factory's reference-parity default is a 0.1 subsample
+    _, test_cat = get_datasets(dataset="SketchyV2", size=1.0,
+                               root=str(root), split_ratio=0.5)
     cat = InferenceCatalog(test_cat.photo_paths)
     paired_paths = cat.image_paths
     loader = GalleryLoader(paired_paths, IMAGE_SIZE,
@@ -287,7 +288,11 @@ def main() -> None:
     log(f"tune_nprobe: proxy picks {np_proxy}, real sketch queries need "
         f"{np_real}; real recall at the proxy's pick: {real_at_proxy:.4f}")
 
-    # ---- residual IVF-PQ tier: pure + rerank-budget sweep
+    # ---- residual IVF-PQ tier: pure + rerank-budget sweep. Swept at
+    # nprobe=8 AND the proxy-tuned nprobe: at nprobe=8 the PQ recall is
+    # CAPPED by the IVF probe recall above (a true neighbor outside the
+    # probed clusters can never be reranked back), so separating probe
+    # misses from ADC misses needs the higher-nprobe column.
     from art_sbir_tpu.ops.pq import build_ivf_pq, ivf_pq_search
 
     t0 = time.perf_counter()
@@ -295,16 +300,37 @@ def main() -> None:
     log(f"residual IVF-PQ built (m=64, {time.perf_counter() - t0:.0f}s)")
     g_bf16 = g_dev.astype(jnp.bfloat16)
     results["ivf_pq_recall"] = {}
-    _, ids = ivf_pq_search(q_dev, index, codes, cb, nprobe=8, k=10)
-    rec = topk_overlap(ids, exact)
-    results["ivf_pq_recall"]["pure"] = round(float(rec), 4)
-    log(f"IVF-PQ recall@10 pure (nprobe=8): {rec:.4f}")
-    for rf in (4, 16, 64):
-        _, ids = ivf_pq_search(q_dev, index, codes, cb, nprobe=8, k=10,
-                               rows=g_bf16, rerank_factor=rf)
+    for nprobe in (8, int(np_proxy)):
+        _, ids = ivf_pq_search(q_dev, index, codes, cb, nprobe=nprobe,
+                               k=10)
         rec = topk_overlap(ids, exact)
-        results["ivf_pq_recall"][f"r{rf * 10}"] = round(float(rec), 4)
-        log(f"IVF-PQ recall@10 rerank r={rf * 10:>4} (nprobe=8): {rec:.4f}")
+        results["ivf_pq_recall"][f"np{nprobe}_pure"] = round(float(rec), 4)
+        log(f"IVF-PQ recall@10 pure (nprobe={nprobe}): {rec:.4f}")
+        for rf in (4, 16, 64):
+            _, ids = ivf_pq_search(q_dev, index, codes, cb, nprobe=nprobe,
+                                   k=10, rows=g_bf16, rerank_factor=rf)
+            rec = topk_overlap(ids, exact)
+            results["ivf_pq_recall"][f"np{nprobe}_r{rf * 10}"] = round(
+                float(rec), 4)
+            log(f"IVF-PQ recall@10 rerank r={rf * 10:>4} "
+                f"(nprobe={nprobe}): {rec:.4f}")
+
+    # ---- OPQ on LEARNED residuals: round 3 measured OPQ neutral on
+    # isotropic synthetic residuals and predicted value on correlated
+    # real embeddings — this is the first correlated corpus to test it
+    t0 = time.perf_counter()
+    cb_o, codes_o = build_ivf_pq(g_dev, index, 64, opq_iters=8)
+    log(f"OPQ residual IVF-PQ built (m=64, opq_iters=8, "
+        f"{time.perf_counter() - t0:.0f}s)")
+    for rf, tag in ((0, "pure"), (64, "r640")):
+        kw = {} if rf == 0 else {"rows": g_bf16, "rerank_factor": rf}
+        _, ids = ivf_pq_search(q_dev, index, codes_o, cb_o,
+                               nprobe=int(np_proxy), k=10, **kw)
+        rec = topk_overlap(ids, exact)
+        results["ivf_pq_recall"][f"opq_np{int(np_proxy)}_{tag}"] = round(
+            float(rec), 4)
+        log(f"OPQ IVF-PQ recall@10 {tag} (nprobe={int(np_proxy)}): "
+            f"{rec:.4f}")
 
     results["backend"] = jax.default_backend()
     out = Path(args.out)

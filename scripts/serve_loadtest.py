@@ -82,6 +82,12 @@ def main() -> None:
                         "of this many devices (sharded exact/int8/IVF/"
                         "IVF-PQ serving routes; on CPU use "
                         "--xla_force_host_platform_device_count)")
+    p.add_argument("--report_window_s", type=float, default=0.0,
+                   help="also report p50/p95/p99 per time window of this "
+                        "many seconds (soak mode: latency drift over the "
+                        "run, VERDICT r3 item 8)")
+    p.add_argument("--soak_out", default=None,
+                   help="write the windowed soak artifact (JSON) here")
     p.add_argument("--clustered", action="store_true",
                    help="blob-structured synthetic gallery (realistic "
                         "image-embedding geometry — the regime IVF's "
@@ -199,8 +205,9 @@ def main() -> None:
                     failures[0] += 1
                 log(f"client {i} request failed: {type(e).__name__}: {e}")
                 continue
+            t1 = time.perf_counter()
             with lock:
-                latencies.append(time.perf_counter() - t0)
+                latencies.append((t1, t1 - t0))
 
     threads = [threading.Thread(target=client, args=(i,), daemon=True)
                for i in range(args.clients)]
@@ -236,8 +243,9 @@ def main() -> None:
     elapsed = time.perf_counter() - t_start
 
     with lock:
-        lat = np.sort(np.asarray(latencies))
+        rows_lat = np.asarray(latencies, np.float64).reshape(-1, 2)
         n_fail = failures[0]
+    lat = np.sort(rows_lat[:, 1])
     stats = batcher.stats.snapshot()
     if not len(lat):
         log(f"NO successful requests ({n_fail} failures) — no numbers")
@@ -258,7 +266,37 @@ def main() -> None:
         f"p99 {pct(0.99):.2f} ms | mean coalesced batch "
         f"{stats['mean_batch']:.2f} ({stats['batches']} dispatches)"
         f"{churn_msg}")
-    print(json.dumps({
+
+    windows = []
+    if args.report_window_s > 0:
+        # completion-time buckets relative to the load start: latency
+        # drift over the soak is the signal (a leaking index or a
+        # growing spill shows up as rising per-window p99)
+        rel = rows_lat[:, 0] - t_start
+        for w0 in np.arange(0.0, elapsed, args.report_window_s):
+            sel = np.sort(rows_lat[(rel >= w0)
+                                   & (rel < w0 + args.report_window_s), 1])
+            if not len(sel):
+                continue
+            import math
+
+            def wp(q):
+                return float(sel[max(math.ceil(q * len(sel)) - 1, 0)]) * 1e3
+
+            win = {"t0_s": round(float(w0), 1), "n": int(len(sel)),
+                   "p50_ms": round(wp(0.50), 2),
+                   "p95_ms": round(wp(0.95), 2),
+                   "p99_ms": round(wp(0.99), 2)}
+            windows.append(win)
+            log(f"  window {win['t0_s']:>6.1f}s: n={win['n']:>5} "
+                f"p50 {win['p50_ms']:7.2f}  p95 {win['p95_ms']:7.2f}  "
+                f"p99 {win['p99_ms']:7.2f} ms")
+    index_stats = None
+    if engine._ivf is not None:
+        index_stats = {k: v for k, v in engine._ivf.stats().items()
+                       if isinstance(v, (int, float, str))}
+        log(f"index counters after soak: {index_stats}")
+    result = {
         "metric": "serving_http_qps",
         "value": round(qps, 1),
         "unit": "requests/sec",
@@ -268,7 +306,19 @@ def main() -> None:
         "p99_ms": round(pct(0.99), 2),
         "mean_batch": round(stats["mean_batch"], 2),
         "failures": n_fail,
-    }))
+    }
+    if args.churn:
+        result["mutations"] = mutations[0]
+    print(json.dumps(result))
+    if args.soak_out:
+        artifact = dict(result, windows=windows, index_stats=index_stats,
+                        seconds=args.seconds, gallery=args.gallery,
+                        churn=bool(args.churn),
+                        ivf_nlist=args.ivf_nlist,
+                        ivf_nprobe=args.ivf_nprobe,
+                        image_size=args.image_size)
+        Path(args.soak_out).write_text(json.dumps(artifact, indent=2))
+        log(f"soak artifact written to {args.soak_out}")
     httpd.shutdown()
     batcher.close()
 

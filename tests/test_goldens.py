@@ -144,3 +144,38 @@ def test_scale_learn_tpu_golden_contract():
     assert len(curve) == g["config"]["epochs"]
     assert curve[-1]["mrr"] > 10 * chance
     assert g["topk_acc"] == sorted(g["topk_acc"])
+
+
+def test_ann_learned_tpu_golden_contract():
+    """ANN tiers on TRAINED-encoder embeddings (VERDICT r3 item 2): the
+    serving-tier quality contracts, previously measured only on synthetic
+    geometry, must hold on the embedding distribution an actually-trained
+    flagship encoder emits at >=50k-gallery scale with REAL cross-modal
+    sketch queries (scripts/probe_ann_learned.py)."""
+    path = GOLDENS / "ann_learned_tpu.json"
+    assert path.is_file(), "goldens/ann_learned_tpu.json missing - run " \
+        "`python scripts/probe_ann_learned.py` on the TPU chip"
+    g = json.loads(path.read_text())
+    assert g["backend"] != "cpu"
+    assert g["corpus"]["learnable"] is True
+    assert g["n_gallery"] >= 50_000
+    assert g["n_queries"] >= 100
+    # the encoder is genuinely trained: far above the random-ranking
+    # expectation on the full distractor-laden gallery
+    assert g["mrr"] >= 50 * g["chance_mrr"], (g["mrr"], g["chance_mrr"])
+    # int8 + exact rerank keeps the synthetic-geometry overlap contract
+    # on learned embeddings at the serving rerank budget
+    assert g["int8_overlap"]["r40"] >= 0.97
+    # IVF recall@10 rises monotonically in nprobe (probe-set inclusion)
+    sweep = [g["ivf_recall"][k] for k in
+             sorted(g["ivf_recall"], key=int)]
+    assert all(b >= a - 1e-9 for a, b in zip(sweep, sweep[1:])), sweep
+    # the serving auto-tune proxy must deliver >= 0.9 recall@10 on REAL
+    # sketch queries at its chosen nprobe (the reason ivf_nprobe=0
+    # became the serving default in round 4)
+    tn = g["tune_nprobe"]
+    assert tn["real_recall_at_proxy_choice"] >= 0.90, tn
+    # rerank can only help at fixed nprobe
+    pq = g["ivf_pq_recall"]
+    for np_ in (8,):
+        assert pq[f"np{np_}_r640"] >= pq[f"np{np_}_pure"] - 1e-9
