@@ -161,8 +161,6 @@ def main() -> None:
     t_train = time.perf_counter() - t0
     log(f"model export: {run_name} ({t_train:.0f}s)")
 
-    forward = load_forward(run_name)
-
     # ---- gallery: test photos (paired) + 50k unseen-class distractors
     from art_sbir_tpu.data import get_datasets
     from art_sbir_tpu.data.catalog import InferenceCatalog
@@ -174,24 +172,37 @@ def main() -> None:
                                root=str(root), split_ratio=0.5)
     cat = InferenceCatalog(test_cat.photo_paths)
     paired_paths = cat.image_paths
-    loader = GalleryLoader(paired_paths, IMAGE_SIZE,
-                           getattr(test_cat, "resize_mode", "square"))
-    t0 = time.perf_counter()
-    g_paired = embed_batched(forward, loader, len(loader), 256,
-                             jit_apply=False)
     n_dis = N_DISTRACTOR_CLASSES * PHOTOS_PER_DISTRACTOR
-    g_dis = embed_batched(forward, distractor_loader, n_dis, 256,
-                          jit_apply=False)
-    gallery = np.concatenate([g_paired, g_dis]).astype(np.float32)
-    log(f"gallery embedded: {gallery.shape[0]:,} rows "
-        f"({len(paired_paths)} paired + {n_dis:,} distractors, "
-        f"{time.perf_counter() - t0:.0f}s)")
+    cache = root.parent / f"embeds_{run_name}.npz"
+    if cache.is_file():
+        z = np.load(cache)
+        gallery, queries = z["gallery"], z["queries"]
+        assert gallery.shape[0] == len(paired_paths) + n_dis
+        log(f"embeddings loaded from {cache}: gallery "
+            f"{gallery.shape[0]:,}, queries {queries.shape[0]:,}")
+    else:
+        forward = load_forward(run_name)
+        loader = GalleryLoader(paired_paths, IMAGE_SIZE,
+                               getattr(test_cat, "resize_mode", "square"))
+        t0 = time.perf_counter()
+        g_paired = embed_batched(forward, loader, len(loader), 256,
+                                 jit_apply=False)
+        g_dis = embed_batched(forward, distractor_loader, n_dis, 256,
+                              jit_apply=False)
+        gallery = np.concatenate([g_paired, g_dis]).astype(np.float32)
+        log(f"gallery embedded: {gallery.shape[0]:,} rows "
+            f"({len(paired_paths)} paired + {n_dis:,} distractors, "
+            f"{time.perf_counter() - t0:.0f}s)")
 
-    qloader = GalleryLoader(test_cat.sketch_paths, IMAGE_SIZE,
-                            getattr(test_cat, "resize_mode", "square"))
-    queries = np.asarray(embed_batched(forward, qloader, len(qloader), 256,
-                                       jit_apply=False), np.float32)
-    log(f"queries embedded: {queries.shape[0]:,} sketches")
+        qloader = GalleryLoader(test_cat.sketch_paths, IMAGE_SIZE,
+                                getattr(test_cat, "resize_mode", "square"))
+        queries = np.asarray(
+            embed_batched(forward, qloader, len(qloader), 256,
+                          jit_apply=False), np.float32)
+        log(f"queries embedded: {queries.shape[0]:,} sketches")
+        np.savez(cache, gallery=gallery, queries=queries)
+        log(f"embeddings cached to {cache} (flapping-chip retries skip "
+            f"the embed sweep)")
 
     # ---- trained-ness: MRR of each sketch's paired photo in the FULL
     # 50.5k gallery (rank = 1 + #(closer rows)), vs the chance yardstick

@@ -34,6 +34,9 @@ p.add_argument("--opq", type=int, default=0,
                help="OPQ iterations for the residual build (part A)")
 p.add_argument("--rounds", type=int, default=6)
 p.add_argument("--cpu", action="store_true", help="smoke on CPU backend")
+p.add_argument("--skip_probe", action="store_true",
+               help="caller already verified reachability (retry loops "
+                    "on a flapping chip: don't burn the window re-probing)")
 args = p.parse_args()
 
 import jax  # noqa: E402
@@ -55,7 +58,7 @@ from art_sbir_tpu.ops.pq import (  # noqa: E402
     PQCodebook, build_ivf_pq, encode_pq, ivf_pq_search, train_pq)
 from art_sbir_tpu.ops.quant import topk_overlap  # noqa: E402
 
-if not args.cpu and not bench.tpu_reachable():
+if not args.cpu and not args.skip_probe and not bench.tpu_reachable():
     print("TPU unreachable; aborting")
     sys.exit(1)
 
@@ -196,6 +199,9 @@ if args.part in ("b", "both"):
         labels_np[done:done + rows] = np.asarray(lab)
         done += rows
         del ch, lab
+        if (i + 1) % 10 == 0 or i + 1 == n_chunks:
+            bench.log(f"B: encoded {done:,}/{N:,} rows "
+                      f"({time.perf_counter() - t0:.0f}s)")
     table, counts = pack_table(labels_np, nlist, N)
     index = IVFIndex(cent, jnp.asarray(table), counts, "euclidean")
     codes = jnp.asarray(codes_np)
