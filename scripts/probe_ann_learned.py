@@ -144,6 +144,15 @@ def main() -> None:
     ap.add_argument("--out", default="goldens/ann_learned_tpu.json")
     args = ap.parse_args()
 
+    # Unattended ~20-min chip run: probe init + one dispatch first so a
+    # wedged relay fails fast instead of blocking the serialized tunnel
+    # (ADVICE r4; CLAUDE.md rule for unattended TPU jobs).
+    from bench import tpu_reachable
+
+    if not tpu_reachable():
+        log("TPU backend unreachable — aborting before the probe")
+        sys.exit(2)
+
     from art_sbir_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -174,13 +183,21 @@ def main() -> None:
     paired_paths = cat.image_paths
     n_dis = N_DISTRACTOR_CLASSES * PHOTOS_PER_DISTRACTOR
     cache = root.parent / f"embeds_{run_name}.npz"
+    gallery = queries = None
     if cache.is_file():
         z = np.load(cache)
         gallery, queries = z["gallery"], z["queries"]
-        assert gallery.shape[0] == len(paired_paths) + n_dis
-        log(f"embeddings loaded from {cache}: gallery "
-            f"{gallery.shape[0]:,}, queries {queries.shape[0]:,}")
-    else:
+        if gallery.shape[0] != len(paired_paths) + n_dis:
+            # Stale cache from a different eval-catalog size (the round-4
+            # truncated run cached 77 paired rows) — re-embed, don't crash.
+            log(f"embed cache {cache} is for a different catalog "
+                f"({gallery.shape[0]:,} rows vs expected "
+                f"{len(paired_paths) + n_dis:,}) — re-embedding")
+            gallery = queries = None
+        else:
+            log(f"embeddings loaded from {cache}: gallery "
+                f"{gallery.shape[0]:,}, queries {queries.shape[0]:,}")
+    if gallery is None:
         forward = load_forward(run_name)
         loader = GalleryLoader(paired_paths, IMAGE_SIZE,
                                getattr(test_cat, "resize_mode", "square"))
@@ -253,8 +270,11 @@ def main() -> None:
         "mrr": mrr, "chance_mrr": float(chance),
         "recall_at_1": float(np.mean(ranks == 1)),
         "recall_at_10": float(np.mean(ranks <= 10)),
-        "train_wall_s": round(t_train, 1),
     }
+    if not args.skip_train:
+        # With --skip_train, t_train is the wall time of an argparse
+        # lookup — preserve the recorded value instead (ADVICE r4).
+        results["train_wall_s"] = round(t_train, 1)
 
     # ---- int8 tier: overlap vs exact at the serving rerank budgets
     qg = quantize_gallery(g_dev)
@@ -346,6 +366,20 @@ def main() -> None:
     results["backend"] = jax.default_backend()
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
+    # MERGE into an existing golden (top level, plus one level deep for
+    # the sweep dicts) so a partial/interrupted rerun can't silently drop
+    # recorded fields (ADVICE r4). A same-run_name rerun overwrites the
+    # keys it measured and keeps the rest; a new run_name starts fresh.
+    if out.is_file():
+        prior = json.loads(out.read_text())
+        if prior.get("run_name") == results["run_name"]:
+            for k, v in results.items():
+                if isinstance(v, dict) and isinstance(prior.get(k), dict):
+                    prior[k].update(v)
+                    results[k] = prior[k]
+            merged = dict(prior)
+            merged.update(results)
+            results = merged
     out.write_text(json.dumps(results, indent=2, sort_keys=True))
     print(json.dumps({k: results[k] for k in
                       ("n_gallery", "mrr", "int8_overlap", "tune_nprobe")}))

@@ -22,6 +22,21 @@ from bench import honest_timeit, measure_rtt  # noqa: E402
 
 
 def main() -> None:
+    # Parse BEFORE touching the TPU: `--help` / bad flags must not require
+    # a live chip or hang when the axon relay is down (ADVICE r4).
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, nargs="+",
+                    default=[10_000, 50_000, 100_000, 200_000, 400_000])
+    ap.add_argument("--q", type=int, nargs="+", default=[512, 4096])
+    args = ap.parse_args()
+
+    from bench import tpu_reachable
+
+    if not tpu_reachable():
+        print("TPU backend unreachable — aborting before the sweep "
+              "(would wedge the serialized tunnel)", file=sys.stderr)
+        sys.exit(2)
+
     from art_sbir_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -33,12 +48,6 @@ def main() -> None:
 
     rtt = measure_rtt()
     print(f"rtt {rtt*1e3:.1f} ms", file=sys.stderr, flush=True)
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, nargs="+",
-                    default=[10_000, 50_000, 100_000, 200_000, 400_000])
-    ap.add_argument("--q", type=int, nargs="+", default=[512, 4096])
-    args = ap.parse_args()
 
     DIM = 1024
     rows = []

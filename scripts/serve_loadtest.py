@@ -66,7 +66,11 @@ def main() -> None:
                    help="serve through an IVF clustered index (ops/ivf.py; "
                         "0 = auto nlist); composes with --churn (online "
                         "IVF) but not --quantize")
-    p.add_argument("--ivf_nprobe", type=int, default=8)
+    p.add_argument("--ivf_nprobe", type=int, default=0,
+                   help="0 = auto-tune at startup — matches the shipped "
+                        "cli/serve.py / RetrievalEngine default (ADVICE "
+                        "r4: loadtests must measure the configuration "
+                        "that actually ships)")
     p.add_argument("--pq_m", type=int, default=None,
                    help="IVF-PQ codes/row (requires --ivf_nlist; "
                         "ops/pq.py)")
