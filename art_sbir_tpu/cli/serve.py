@@ -100,6 +100,34 @@ def build_engine(args):
                           x, train=False)
         return out[0] if isinstance(out, tuple) else out
 
+    # Per-modality BN (train/bn.py): a run trained with --bn_recalibrate
+    # per_modality exports sketch-population running stats as the
+    # `<run>_bn_sketch` sibling; HTTP queries are sketches, so serve them
+    # with those stats while the resident gallery keeps the main export's
+    # photo-population stats. Without this, a from-scratch bimodal model
+    # served over HTTP re-opens the measured MRR 0.078-vs-0.858 gap the
+    # offline CLIs already close (PERF.md "BN recalibration").
+    query_forward = None
+    bn_arg = getattr(args, "bn_stats", "auto") or "auto"
+    if bn_arg != "off":
+        sib = (Path(args.models_root) / f"{args.folder}_bn_sketch"
+               if bn_arg == "auto" else Path(bn_arg))
+        if sib.exists():
+            sketch_stats = load_pytree(
+                sib, {"batch_stats": state.batch_stats})["batch_stats"]
+
+            def query_forward(images_uint8):
+                x = finish_gallery_batch(images_uint8)
+                out = model.apply(
+                    {"params": params, "batch_stats": sketch_stats},
+                    x, train=False)
+                return out[0] if isinstance(out, tuple) else out
+
+            print(f"query encoder: sketch-population BN stats ({sib})",
+                  flush=True)
+        elif bn_arg != "auto":
+            raise SystemExit(f"--bn_stats {bn_arg}: no export at {sib}")
+
     # getattr defaults: programmatic callers (tests, embedding apps) may
     # build a partial Namespace; new flags must not break them
     mesh = None
@@ -125,7 +153,8 @@ def build_engine(args):
                     pq_rerank=getattr(args, "pq_rerank", "bfloat16"),
                     pq_rerank_factor=getattr(args, "pq_rerank_factor", 64),
                     pq_opq_iters=getattr(args, "pq_opq_iters", 0),
-                    index_cache=getattr(args, "index_cache", None))
+                    index_cache=getattr(args, "index_cache", None),
+                    query_forward_fn=query_forward)
 
     if args.features:
         engine = engine_from_feature_cache(
@@ -315,6 +344,13 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--embed_batch", type=int, default=256)
+    p.add_argument("--bn_stats", default="auto",
+                   help="query-side BatchNorm stats for per-modality-"
+                        "recalibrated runs (train/bn.py): 'auto' "
+                        "(default) loads <models_root>/<folder>_bn_sketch "
+                        "when it exists and embeds HTTP queries with "
+                        "sketch-population stats; 'off' disables; or an "
+                        "explicit export path")
     p.add_argument("--warmup", action="store_true",
                    help="compile every batch-bucket program before "
                         "listening (first requests otherwise pay compiles)")

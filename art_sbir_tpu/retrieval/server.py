@@ -89,6 +89,12 @@ class RetrievalEngine:
     ``forward_fn``: uint8 (B, S, S, 3) device batch -> (B, D) embeddings,
     preprocessing fused inside (same contract as
     :func:`art_sbir_tpu.retrieval.engine.run_inference`).
+
+    ``query_forward_fn`` (optional): embeds SEARCH queries instead of
+    ``forward_fn`` — per-modality BN recalibration passes an encoder
+    with sketch-population running stats here while the gallery and
+    online ``/add`` rows keep photo-population stats, mirroring
+    ``run_inference``'s ``query_forward_fn`` offline split.
     """
 
     def __init__(
@@ -114,6 +120,7 @@ class RetrievalEngine:
         pq_rerank_factor: int = 64,
         pq_opq_iters: int = 0,
         index_cache: Optional[Path | str] = None,
+        query_forward_fn: Optional[Callable] = None,
     ):
         """``capacity``: enable ONLINE index updates (:meth:`add_images`,
         :meth:`remove`). The gallery is padded to a fixed ``capacity``
@@ -210,6 +217,15 @@ class RetrievalEngine:
         self.max_batch = max_batch
         self.buckets = _buckets(max_batch)
         self._forward = forward_fn
+        # Per-modality BN (train/bn.py, VERDICT r4 item 2): HTTP queries
+        # are SKETCHES, the resident gallery and online /add rows are
+        # photos. When the run trained with --bn_recalibrate
+        # per_modality, ``query_forward_fn`` carries sketch-population
+        # running stats and ``forward_fn`` photo-population stats — the
+        # same split cli/inference.py applies offline. Default: one
+        # forward for both (shared-stats models, feature-cache serving).
+        self._query_forward = query_forward_fn or forward_fn
+        self.per_modality_bn = query_forward_fn is not None
         self._lock = threading.Lock()  # guards gallery/n_valid/paths
 
         self.capacity = capacity
@@ -493,8 +509,18 @@ class RetrievalEngine:
                 and self._rerank_factor * self.k_max <= 128)
 
         def embed(images_u8: jax.Array) -> jax.Array:
-            emb = self._forward(images_u8)
+            # QUERY modality (sketches) — per-modality BN models embed
+            # these with sketch-population stats
+            emb = self._query_forward(images_u8)
             if isinstance(emb, (tuple, list)):  # classification models
+                emb = emb[0]
+            return emb.astype(jnp.float32)
+
+        def embed_gallery(images_u8: jax.Array) -> jax.Array:
+            # GALLERY modality (photos) — online /add rows must match
+            # the resident gallery's embedding geometry
+            emb = self._forward(images_u8)
+            if isinstance(emb, (tuple, list)):
                 emb = emb[0]
             return emb.astype(jnp.float32)
 
@@ -518,6 +544,10 @@ class RetrievalEngine:
         # concurrently-dispatched search may still hold the old arrays,
         # and donation would delete them under that dispatch.
         self._embed = jax.jit(embed)
+        # alias when the forwards coincide: a second jit would compile a
+        # duplicate executable per batch bucket for the identical program
+        self._embed_gallery = (jax.jit(embed_gallery)
+                               if self.per_modality_bn else self._embed)
         self._program = jax.jit(program)
         self._set_row = jax.jit(set_row)
         self._set_mask = jax.jit(set_mask)
@@ -654,7 +684,7 @@ class RetrievalEngine:
         if bucket != b:
             imgs = np.concatenate(
                 [imgs, np.zeros((bucket - b, *imgs.shape[1:]), np.uint8)])
-        emb_padded = self._embed(jnp.asarray(imgs))
+        emb_padded = self._embed_gallery(jnp.asarray(imgs))
         emb = emb_padded[:b]
         with self._lock:
             if self.n_valid + b > self.capacity:
@@ -752,6 +782,7 @@ class RetrievalEngine:
                 "metric": self.metric,
                 "image_size": self.image_size,
                 "k_max": self.k_max,
+                "per_modality_bn": self.per_modality_bn,
             }
             if self._ivf is not None:
                 out["ivf"] = {**self._ivf.stats(),

@@ -153,7 +153,8 @@ def served_run(tmp_path_factory):
             "-e", "1", "-b", "4", "-d", "SketchyV1",
             "--model_type", "ModifiedResNet",
             "--data_root", str(sketchy), "--image_size", "64",
-            "--results_root", str(root / "results"),
+            "--inference",  # writes inference.json — the offline-quality
+            "--results_root", str(root / "results"),  # yardstick below
         ])
         args = argparse.Namespace(
             folder=out.name, features=None,
@@ -1151,3 +1152,154 @@ def test_engine_sharded_pq_route(tiny_engine, tmp_path, monkeypatch):
     assert pure.gallery is None
     out = pure.search(_png_bytes(imgs[9]))
     assert out["paths"][0] == "gallery/img_9.png"
+
+
+def test_served_quality_equals_offline(served_run):
+    """The HTTP path's retrieval quality equals run_inference's on the
+    same trained run (VERDICT r4 item 7): every test-catalog sketch is
+    queried through the serving engine at full-gallery k and the MRR
+    computed from the served rankings must equal inference.json's (same
+    gallery, same queries, same positive-rank definition 1 + #closer)."""
+    import argparse
+    import os
+
+    from art_sbir_tpu.cli.serve import build_engine
+    from art_sbir_tpu.data import get_datasets
+    from art_sbir_tpu.retrieval.rank import positive_indices
+
+    engine, port, sketchy = served_run
+    root = Path(sketchy).parent
+    run = sorted((root / "results").glob("*"))[0]
+    offline = json.loads((run / "inference.json").read_text())
+    data_params = json.loads((run / "data_params.json").read_text())
+
+    args = argparse.Namespace(
+        folder=run.name, features=None,
+        results_root=str(root / "results"), models_root="models",
+        feature_root="data/image_features", data_root=str(sketchy),
+        metric=None, k_max=10_000, max_batch=4, window_ms=1.0,
+        embed_batch=32, capacity=None, n_devices=1, quantize=False)
+    cwd = os.getcwd()
+    os.chdir(root)  # models/ lives under the fixture root
+    try:
+        eng, batcher = build_engine(args)
+        batcher.close()
+        _, test_cat = get_datasets(
+            dataset=data_params["dataset"],
+            size=data_params.get("size", 1.0), root=str(sketchy))
+        imgs = np.stack([eng.decode(Path(p).read_bytes())
+                         for p in test_cat.sketch_paths])
+        vals, idx = eng.search_arrays(imgs)  # full-gallery ranking
+        pos = positive_indices(test_cat.sketch_paths, eng.image_paths)
+        assert (pos >= 0).all()
+        ranks = []
+        for j, p in enumerate(pos):
+            d_pos = vals[j][idx[j] == p][0]
+            ranks.append(1 + int((vals[j] < d_pos).sum()))
+        mrr_served = float(np.mean(1.0 / np.asarray(ranks)))
+        assert abs(mrr_served - offline["mean_reciprocal_rank"]) < 1e-6, (
+            mrr_served, offline["mean_reciprocal_rank"])
+    finally:
+        os.chdir(cwd)
+
+
+def test_serve_cli_bn_stats(tmp_path, monkeypatch):
+    """Per-modality BN reaches the serving path (VERDICT r4 item 2): a
+    run trained with --bn_recalibrate per_modality exports sketch-
+    population stats as `<run>_bn_sketch`; build_engine auto-detects the
+    sibling and embeds HTTP queries with it while the gallery keeps
+    photo-population stats. Locked: (a) the served results equal an
+    engine given the sibling's stats EXPLICITLY via query_forward_fn —
+    same compiled program, so bit-equality proves auto-detection loads
+    exactly the recalibrated stats (the serving path then inherits the
+    offline MRR recovery test_bn_recalibrate locks), (b) --bn_stats off
+    serves shared stats and measurably diverges, (c) a bad explicit
+    path fails fast."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.cli.serve import build_engine
+    from art_sbir_tpu.cli.train import main as train_main
+    from art_sbir_tpu.core.checkpoint import load_pytree
+    from art_sbir_tpu.models.resnet import create_encoder
+    from art_sbir_tpu.train.prepare import finish_gallery_batch
+    from art_sbir_tpu.train.triplet import create_train_state
+
+    monkeypatch.chdir(tmp_path)
+    sketchy = make_synthetic_sketchy(tmp_path / "sketchy")
+    out = train_main([
+        "-e", "1", "-b", "4", "-d", "SketchyV1",
+        "--model_type", "ModifiedResNet", "--width", "8",
+        "--layers", "1", "1", "1", "1",
+        "--data_root", str(sketchy), "--image_size", "64",
+        "--bn_recalibrate", "per_modality",
+        "--results_root", str(tmp_path / "results"),
+    ])
+
+    def mk_args(**over):
+        base = dict(
+            folder=out.name, features=None,
+            results_root=str(tmp_path / "results"), models_root="models",
+            feature_root="data/image_features", data_root=str(sketchy),
+            metric=None, k_max=8, max_batch=4, window_ms=1.0,
+            embed_batch=32, capacity=None, n_devices=1, quantize=False)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    eng, batcher = build_engine(mk_args())  # bn_stats defaults to auto
+    batcher.close()
+    assert eng.per_modality_bn is True
+    assert eng.health_stats()["per_modality_bn"] is True
+
+    sketch = next((Path(sketchy) / "sketches_png").rglob("*.png"))
+    img = eng.decode(sketch.read_bytes())[None]
+    vals, idx = eng.search_arrays(img)
+
+    # oracle: the same engine program, but with the sibling's stats
+    # loaded by hand and injected through the public query_forward_fn
+    # seam — identical HLO + identical inputs => bit-equal results iff
+    # build_engine auto-loaded exactly these stats
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    model = create_encoder(dtype=jnp.bfloat16, input_resolution=64,
+                           width=8, layers=(1, 1, 1, 1))
+    state = create_train_state(model, jax.random.key(0), (1, 64, 64, 3))
+    restored = load_pytree(Path("models") / out.name,
+                           {"params": state.params,
+                            "batch_stats": state.batch_stats})
+    sk_stats = load_pytree(
+        Path("models") / f"{out.name}_bn_sketch",
+        {"batch_stats": state.batch_stats})["batch_stats"]
+
+    def fwd_with(stats):
+        def fwd(images_uint8):
+            o = model.apply(
+                {"params": restored["params"], "batch_stats": stats},
+                finish_gallery_batch(images_uint8), train=False)
+            return o[0] if isinstance(o, tuple) else o
+        return fwd
+
+    oracle = RetrievalEngine(
+        fwd_with(restored["batch_stats"]), np.asarray(eng.gallery),
+        eng.image_paths, metric=eng.metric, image_size=64,
+        k_max=eng.k_max, max_batch=4,
+        query_forward_fn=fwd_with(sk_stats))
+    ov, oi = oracle.search_arrays(img)
+    np.testing.assert_array_equal(idx[0], oi[0])
+    np.testing.assert_allclose(vals[0], ov[0], rtol=0, atol=0)
+
+    # --bn_stats off: shared running stats, a genuinely different query
+    # embedding (the modality gap the sibling exists to close)
+    eng_off, b_off = build_engine(mk_args(bn_stats="off"))
+    b_off.close()
+    assert eng_off.per_modality_bn is False
+    vals_off, _ = eng_off.search_arrays(img)
+    assert not np.allclose(vals[0], vals_off[0], rtol=1e-5, atol=1e-5)
+    # the resident gallery itself is shared (photo stats both ways)
+    np.testing.assert_allclose(np.asarray(eng.gallery),
+                               np.asarray(eng_off.gallery))
+
+    with pytest.raises(SystemExit):
+        build_engine(mk_args(bn_stats=str(tmp_path / "nope")))
