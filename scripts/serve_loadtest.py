@@ -160,7 +160,9 @@ def main() -> None:
         pq_opq_iters=args.pq_opq_iters,
         index_cache=args.index_cache, mesh=mesh)
     if engine._ivf is not None:
-        log(f"IVF index: {engine._ivf.stats()}")
+        log(f"IVF index: {engine._ivf.stats()} | serving nprobe="
+            f"{engine._ivf_nprobe}"
+            + (" (auto-tuned)" if args.ivf_nprobe == 0 else ""))
     if engine._pq is not None:
         cb = engine._pq[0]
         log(f"PQ: m={cb.m} k={cb.k_codes} ({cb.m} B/row); rows "
