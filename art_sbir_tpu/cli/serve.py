@@ -308,12 +308,12 @@ def main(argv=None):
                    help="clusters probed per query in --ivf_nlist mode; "
                         "0 (default) = auto-tune at startup (smallest "
                         "power of two reaching 95%% recall@k_max on "
-                        "perturbed gallery rows). The fixed nprobe=8 "
-                        "default was retired in round 4: on TRAINED-"
-                        "encoder embeddings it delivers only 0.84 "
-                        "recall@10 while the auto-tune proxy correctly "
-                        "picks the nprobe real sketch queries need "
-                        "(goldens/ann_learned_tpu.json, PERF.md). Pass a "
+                        "perturbed gallery rows, then DOUBLED: the "
+                        "proxy measured one power of two optimistic vs "
+                        "real cross-modal queries at 50k/1k-query scale "
+                        "— goldens/ann_learned_tpu.json, round 5). The "
+                        "fixed nprobe=8 default was retired in round 4 "
+                        "(0.84 recall@10 on trained embeddings). Pass a "
                         "measured nprobe when held-out queries exist")
     p.add_argument("--pq_m", type=int, default=None,
                    help="IVF-PQ (ops/pq.py; requires --ivf_nlist): "

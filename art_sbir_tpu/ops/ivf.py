@@ -266,6 +266,7 @@ def tune_nprobe(
     k: int = 10,
     target_recall: float = 0.95,
     search_fn=None,
+    margin: int = 1,
 ) -> int:
     """Smallest power-of-two ``nprobe`` whose recall@k on ``queries``
     (vs the exact path over the same gallery) meets ``target_recall``
@@ -274,6 +275,17 @@ def tune_nprobe(
     ``queries`` are a held-out sample of REAL queries; callers without
     one (the serving engine's auto mode) use perturbed gallery rows as
     a documented optimistic proxy.
+
+    ``margin`` multiplies the tuned choice (capped at ``nlist``) as a
+    safety factor for OPTIMISTIC tuning sets. Measured need (round 5,
+    `goldens/ann_learned_tpu.json`): at 50k-gallery/1,000-real-query
+    scale the perturbed-row proxy picks nprobe=8 (its own recall >=
+    0.95) while real cross-modal sketch queries reach only 0.852 there
+    and need 16 — exactly one power of two of proxy optimism. The
+    serving engine's auto mode therefore passes ``margin=2``; tuning on
+    held-out REAL queries needs no margin (the round-4 100-query run
+    that suggested the proxy was exact was measured unrepresentative —
+    ADVICE r4).
 
     ``index`` is any object with ``.nlist``/``.metric``
     (:class:`IVFIndex` or :class:`ShardedIVF`). ``search_fn(q, nprobe,
@@ -286,6 +298,8 @@ def tune_nprobe(
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got "
                          f"{target_recall}")
+    if margin < 1:
+        raise ValueError(f"margin must be >= 1, got {margin}")
     if search_fn is None:
         def search_fn(q, nprobe, k):
             return ivf_search(q, index, gallery, nprobe=nprobe, k=k)
@@ -300,7 +314,7 @@ def tune_nprobe(
     while nprobe < index.nlist:
         _, ids = search_fn(q, nprobe, k)
         if topk_overlap(ids, exact) >= target_recall:
-            return nprobe
+            return min(nprobe * margin, int(index.nlist))
         nprobe *= 2
     return index.nlist
 

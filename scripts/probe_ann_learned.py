@@ -310,14 +310,23 @@ def main() -> None:
         rows.shape).astype(np.float32)
     np_proxy = tune_nprobe(index, g_dev, jnp.asarray(proxy), k=10)
     np_real = tune_nprobe(index, g_dev, q_dev, k=10)
+    # what the serving engine actually deploys: proxy choice x margin=2
+    # (retrieval/server.py — the proxy measured one power of two
+    # optimistic vs real queries at this scale, round 5)
+    np_serving = min(np_proxy * 2, index.nlist)
     _, ids = ivf_search(q_dev, index, g_dev, nprobe=np_proxy, k=10)
     real_at_proxy = float(topk_overlap(ids, exact))
+    _, ids = ivf_search(q_dev, index, g_dev, nprobe=np_serving, k=10)
+    real_at_serving = float(topk_overlap(ids, exact))
     results["tune_nprobe"] = {
         "proxy_choice": int(np_proxy), "real_query_choice": int(np_real),
         "real_recall_at_proxy_choice": round(real_at_proxy, 4),
+        "serving_choice": int(np_serving),
+        "real_recall_at_serving_choice": round(real_at_serving, 4),
     }
     log(f"tune_nprobe: proxy picks {np_proxy}, real sketch queries need "
-        f"{np_real}; real recall at the proxy's pick: {real_at_proxy:.4f}")
+        f"{np_real}; real recall at the proxy's pick: {real_at_proxy:.4f};"
+        f" served (margin=2) nprobe={np_serving}: {real_at_serving:.4f}")
 
     # ---- residual IVF-PQ tier: pure + rerank-budget sweep. Swept at
     # nprobe=8 AND the proxy-tuned nprobe: at nprobe=8 the PQ recall is
@@ -331,7 +340,7 @@ def main() -> None:
     log(f"residual IVF-PQ built (m=64, {time.perf_counter() - t0:.0f}s)")
     g_bf16 = g_dev.astype(jnp.bfloat16)
     results["ivf_pq_recall"] = {}
-    for nprobe in (8, int(np_proxy)):
+    for nprobe in sorted({8, int(np_proxy), int(np_serving)}):
         _, ids = ivf_pq_search(q_dev, index, codes, cb, nprobe=nprobe,
                                k=10)
         rec = topk_overlap(ids, exact)
@@ -356,11 +365,11 @@ def main() -> None:
     for rf, tag in ((0, "pure"), (64, "r640")):
         kw = {} if rf == 0 else {"rows": g_bf16, "rerank_factor": rf}
         _, ids = ivf_pq_search(q_dev, index, codes_o, cb_o,
-                               nprobe=int(np_proxy), k=10, **kw)
+                               nprobe=int(np_serving), k=10, **kw)
         rec = topk_overlap(ids, exact)
-        results["ivf_pq_recall"][f"opq_np{int(np_proxy)}_{tag}"] = round(
+        results["ivf_pq_recall"][f"opq_np{int(np_serving)}_{tag}"] = round(
             float(rec), 4)
-        log(f"OPQ IVF-PQ recall@10 {tag} (nprobe={int(np_proxy)}): "
+        log(f"OPQ IVF-PQ recall@10 {tag} (nprobe={int(np_serving)}): "
             f"{rec:.4f}")
 
     results["backend"] = jax.default_backend()

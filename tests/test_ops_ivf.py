@@ -355,6 +355,32 @@ def test_tune_nprobe_meets_target_and_validates():
                         target_recall=bad)
 
 
+def test_tune_nprobe_margin():
+    """margin multiplies the tuned choice (the serving engine passes
+    margin=2 because the perturbed-row proxy measured one power of two
+    optimistic vs real cross-modal queries at scale — round 5,
+    goldens/ann_learned_tpu.json), capped at nlist; margin < 1 raises."""
+    from art_sbir_tpu.ops.ivf import tune_nprobe
+
+    rng = np.random.default_rng(7)
+    d = 24
+    centers = rng.standard_normal((16, d)) * 4.0
+    g, _ = _blobs(rng, 64, centers, d, scale=0.3)
+    q = g[rng.integers(0, len(g), 32)] + 0.05 * rng.standard_normal(
+        (32, d)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(g), 16, iters=10, seed=0)
+    base = tune_nprobe(idx, jnp.asarray(g), jnp.asarray(q), k=10)
+    with_margin = tune_nprobe(idx, jnp.asarray(g), jnp.asarray(q), k=10,
+                              margin=2)
+    assert with_margin == min(base * 2, idx.nlist)
+    # a margin larger than nlist/base caps at nlist (the exact path)
+    capped = tune_nprobe(idx, jnp.asarray(g), jnp.asarray(q), k=10,
+                         margin=10 * idx.nlist)
+    assert capped == idx.nlist
+    with pytest.raises(ValueError, match="margin"):
+        tune_nprobe(idx, jnp.asarray(g), jnp.asarray(q), margin=0)
+
+
 def test_tune_nprobe_cosine_uses_cosine_oracle():
     """A cosine index must tune against the COSINE exact path: rows are
     direction-clustered at wildly mixed norms, so the euclidean and
