@@ -68,31 +68,70 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def chain_time(fn, x, rtt: float, reps: int = 4, rounds: int = 4) -> float:
-    """Seconds/call of fn(x)->pytree: chains a scalar of the output back
-    into x (in-order device execution), one host sync per loop, reps
-    rescaled past the RTT (bench.honest_timeit rule)."""
+def loop_time(apply, params, x, rtt: float, reps: int = 16,
+              rounds: int = 4) -> float:
+    """Seconds per apply(params, x) with the rep chain INSIDE one jitted
+    ``lax.fori_loop`` — ONE dispatch + ONE 4-byte host pull per timing,
+    so per-dispatch tunnel overhead (measured 3-7 ms/dispatch in the
+    round-5 regime — PERF.md "Third regime shift") cannot dominate
+    sub-ms units of work the way a host-side chained loop lets it.
+    Sequential in-order execution is forced by threading each
+    iteration's output scalar into the next iteration's PARAMS as
+    ``w + s*1e-38`` (exactly rounds to ``w`` in f32, so values are
+    stable, but the data dependency is real and XLA cannot batch or
+    reorder iterations; a literal ``*0`` could be algebraically
+    folded)."""
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
-    leaf0 = lambda out: jax.tree_util.tree_leaves(out)[0]
-    out = fn(x)
-    _ = np.asarray(leaf0(out)).ravel()[0]  # compile + drain
-    best = float("inf")
-    for _ in range(rounds):
-        n = reps
-        while True:
-            xx, out = x, None
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out = fn(xx)
-                xx = xx + (leaf0(out).ravel()[0] * 0).astype(x.dtype)
-            _ = np.asarray(leaf0(out)).ravel()[0]
-            total = time.perf_counter() - t0
-            if total >= 5.0 * rtt or n >= 1024:
-                best = min(best, max(total - rtt, 0.2 * total) / n)
-                break
-            n = min(max(n * 2, int(n * 6.0 * rtt / max(total, 1e-6))), 1024)
-    return best
+    @jax.jit
+    def run(p, xx, n):
+        def body(i, carry):
+            acc, p = carry
+            out = apply(p, xx)
+            # consume EVERY output element: reducing only out[0,0]
+            # lets XLA's slice-of-dot / DCE rewrites delete the rest of
+            # the computation (measured: the "GEMM" collapsed to a
+            # K-length dot at ~3.5 us/iter). A full sum fuses into the
+            # producer's epilogue, so it is near-free, and nothing can
+            # be dead-coded.
+            s = sum(jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree_util.tree_leaves(out))
+            p = jax.tree_util.tree_map(
+                lambda w: w + (s * 1e-38).astype(w.dtype), p)
+            return acc + s, p
+        acc, _ = lax.fori_loop(0, n, body, (jnp.float32(0.0), p))
+        return acc
+
+    _ = float(run(params, x, 2))  # compile + drain
+
+    def timed(n):
+        t0 = time.perf_counter()
+        _ = float(run(params, x, n))
+        return time.perf_counter() - t0
+
+    # two-point slope: (t(4n) - t(n)) / 3n cancels the FIXED per-call
+    # cost (dispatch + RTT + loop warmup, measured ~43 ms/call in the
+    # round-5 tunnel regime — larger than many units of work x n), which
+    # a single-point total/n cannot separate from the marginal cost.
+    # Each ENDPOINT is min'd over rounds separately before the slope is
+    # taken: preemption bursts only ever inflate a timing, and a slope
+    # of one inflated t(n) against one clean t(4n) collapses toward
+    # zero — min-of-slopes locked such a collapse in (a 2.5 us "GEMM"
+    # = 440% of peak), min-of-endpoints cannot.
+    n = reps
+    while True:  # size the loop so the slope dominates the RTT noise
+        dt = timed(4 * n) - timed(n)
+        if dt >= 5.0 * rtt or n >= 1024:
+            break
+        n = min(max(n * 2, int(n * 6.0 * rtt / max(dt, 1e-6))), 1024)
+    t1 = min(timed(n) for _ in range(rounds))
+    t4 = min(timed(4 * n) for _ in range(rounds))
+    if t4 <= t1:
+        raise RuntimeError("loop_time: non-positive slope (heavy "
+                           "preemption?) — rerun")
+    return (t4 - t1) / (3 * n)
 
 
 # --------------------------------------------------------------- part A
@@ -154,15 +193,26 @@ def probe_gan_convs(rtt: float, b: int = 16) -> dict:
             (b, hw, hw, cin)), jnp.float32)
         params = jax.jit(mod.init)(jax.random.key(0), x)
 
-        # params as ARGUMENTS: closed-over arrays bake into the HLO as
-        # constants and the remote compiler rejects large ones (CLAUDE.md)
-        fwd_j = jax.jit(lambda p, xx, m=mod: m.apply(p, xx))
-        fb_j = jax.jit(jax.grad(
-            lambda xx, p, m=mod: jnp.sum(
-                m.apply(p, xx).astype(jnp.float32))))
+        def fwd(p, xx, m=mod):
+            return m.apply(p, xx)
+
+        def fb(p, xx, m=mod):
+            # grads wrt params AND input = the full dw+dx backward the
+            # train step pays (3 fwd-equivalent FLOP volumes total).
+            # SQUARED loss, deliberately: with a linear sum() the
+            # cotangent is all-ones and dw is loop-invariant in p, so
+            # XLA hoists the whole weight-grad conv out of loop_time's
+            # rep loop (measured: 2e-9 s/"call"). square() makes the
+            # cotangent 2*out, which depends on p — nothing hoists,
+            # and it matches real training where cotangents vary.
+            return jax.grad(
+                lambda pp, q: jnp.sum(jnp.square(
+                    m.apply(pp, q).astype(jnp.float32))),
+                argnums=(0, 1))(p, xx)
+
         fl = conv_flops(b, hw, cin, cout, k, stride, transpose)
-        t_f = chain_time(lambda xx: fwd_j(params, xx), x, rtt)
-        t_fb = chain_time(lambda xx: fb_j(xx, params), x, rtt)
+        t_f = loop_time(fwd, params, x, rtt)
+        t_fb = loop_time(fb, params, x, rtt)
         rows.append({
             "name": name, "gflop_fwd": fl / 1e9,
             "ms_fwd": t_f * 1e3, "ms_fwdbwd": t_fb * 1e3,
@@ -232,10 +282,13 @@ def probe_vae_gemm(rtt: float) -> dict:
     K, N = 517 + 512, 2048  # TorchLSTMCell gate GEMM (x|h concat form)
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
+
+    def gemm(ww, xx):
+        return xx @ ww
+
     for m in (16, 64, 128, 256, 512):
         x = jnp.asarray(rng.standard_normal((m, K)), jnp.bfloat16)
-        f = jax.jit(lambda xx, ww=w: xx @ ww)
-        t = chain_time(f, x, rtt)
+        t = loop_time(gemm, w, x, rtt)
         fl = 2.0 * m * K * N
         # weight-streaming cap: weights re-read per call at this M
         ai = fl / (K * N * 2.0)
