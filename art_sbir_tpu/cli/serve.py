@@ -359,11 +359,19 @@ def main(argv=None):
     enable_compilation_cache()
     engine, batcher = build_engine(args)
     if args.warmup:
+        import jax.numpy as jnp
         import numpy as np
 
         s = engine.image_size
         for b in engine.buckets:  # cold buckets would each pay a compile
             engine.search_arrays(np.zeros((b, s, s, 3), np.uint8))
+            if engine.capacity is not None and engine.per_modality_bn:
+                # /add embeds with the photo-stats program, a SEPARATE
+                # jit from the sketch-stats search path — without this
+                # the first online add after startup pays a cold
+                # encoder compile despite --warmup's contract
+                engine._embed_gallery(
+                    jnp.zeros((b, s, s, 3), jnp.uint8))
 
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(engine, batcher))

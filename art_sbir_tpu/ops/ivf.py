@@ -258,6 +258,14 @@ def build_ivf(
     return IVFIndex(cent, jnp.asarray(table), counts, metric)
 
 
+# The serving engine's auto-tune margin (retrieval/server.py) and the
+# golden-regeneration probe (scripts/probe_ann_learned.py) must agree on
+# this factor, or the golden's "serving operating point" silently drifts
+# from what the server deploys. Measured basis: one power of two of
+# proxy optimism at 50k/1k-query scale (goldens/ann_learned_tpu.json).
+SERVING_NPROBE_MARGIN = 2
+
+
 def tune_nprobe(
     index,
     gallery: jax.Array,

@@ -414,13 +414,16 @@ class RetrievalEngine:
                                            axis=0), np.float32)
                 proxy = rows + 0.05 * rows.std() * prng.standard_normal(
                     rows.shape).astype(np.float32)
-                # margin=2: the perturbed-row proxy is measurably one
-                # power of two optimistic vs real cross-modal queries at
-                # scale (round 5, goldens/ann_learned_tpu.json — proxy
-                # picks 8, real sketches need 16 for the 0.95 contract)
+                # SERVING_NPROBE_MARGIN: the perturbed-row proxy is
+                # measurably one power of two optimistic vs real
+                # cross-modal queries at scale (round 5,
+                # goldens/ann_learned_tpu.json — proxy picks 8, real
+                # sketches need 16 for the 0.95 contract)
+                from art_sbir_tpu.ops.ivf import SERVING_NPROBE_MARGIN
+
                 self._ivf_nprobe = tune_nprobe(
                     idx, g_live, jnp.asarray(proxy), k=self.k_max,
-                    search_fn=search_fn, margin=2)
+                    search_fn=search_fn, margin=SERVING_NPROBE_MARGIN)
 
         self._pq = None
         if pq_m is not None:

@@ -259,8 +259,14 @@ BWD_PASSES = 3.0   # dgamma/dbeta (g, xhat) + dx correction re-reads
 def bn_floor(b: int = 16) -> dict:
     g_bytes = sum(b * hw * hw * c * 2 for hw, c in G_NORM_SITES)
     d_bytes = sum(b * hw * hw * c * 2 for hw, c in D_NORM_SITES)
-    total = (g_bytes * (G_FWD * FWD_PASSES + G_BWD * BWD_PASSES)
-             + d_bytes * (D_FWD * FWD_PASSES + D_BWD * BWD_PASSES))
+    # every backward pass CONTAINS a forward (G_FWD/D_FWD count only the
+    # extra standalone forwards), and each forward pays the stat read —
+    # so forward stat passes = n_fwd + n_bwd per network (review r5:
+    # charging FWD_PASSES against the standalone forwards alone dropped
+    # the fwd-inside-bwd stat reads and understated the floor ~20%)
+    total = (g_bytes * ((G_FWD + G_BWD) * FWD_PASSES + G_BWD * BWD_PASSES)
+             + d_bytes * ((D_FWD + D_BWD) * FWD_PASSES
+                          + D_BWD * BWD_PASSES))
     floor_vpu = total / VPU_STREAM * 1e3
     floor_hbm = total / PEAK_HBM * 1e3
     log(f"BN stat-pass floor: G sites {g_bytes/1e6:.0f} MB/pass, D "
@@ -380,6 +386,12 @@ def main() -> None:
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
+    # merge into an existing artifact so a partial --parts rerun can't
+    # drop previously recorded parts (same rule as probe_ann_learned)
+    if out.is_file():
+        prior = json.loads(out.read_text())
+        prior.update(results)
+        results = prior
     out.write_text(json.dumps(results, indent=2, sort_keys=True))
     print(json.dumps({k: True for k in results}))
     log(f"written to {out}")
