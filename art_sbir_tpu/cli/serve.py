@@ -94,11 +94,17 @@ def build_engine(args):
     params, batch_stats = state.params, state.batch_stats
     resize_mode = param_dict.get("resize_mode")  # else catalog default
 
-    def forward(images_uint8):
-        x = finish_gallery_batch(images_uint8)
-        out = model.apply({"params": params, "batch_stats": batch_stats},
-                          x, train=False)
-        return out[0] if isinstance(out, tuple) else out
+    def make_forward(stats):
+        # one body, parameterized by the BN running-stats set — the
+        # per-modality split below is exactly this one degree of freedom
+        def forward(images_uint8):
+            x = finish_gallery_batch(images_uint8)
+            out = model.apply({"params": params, "batch_stats": stats},
+                              x, train=False)
+            return out[0] if isinstance(out, tuple) else out
+        return forward
+
+    forward = make_forward(batch_stats)
 
     # Per-modality BN (train/bn.py): a run trained with --bn_recalibrate
     # per_modality exports sketch-population running stats as the
@@ -113,16 +119,8 @@ def build_engine(args):
         sib = (Path(args.models_root) / f"{args.folder}_bn_sketch"
                if bn_arg == "auto" else Path(bn_arg))
         if sib.exists():
-            sketch_stats = load_pytree(
-                sib, {"batch_stats": state.batch_stats})["batch_stats"]
-
-            def query_forward(images_uint8):
-                x = finish_gallery_batch(images_uint8)
-                out = model.apply(
-                    {"params": params, "batch_stats": sketch_stats},
-                    x, train=False)
-                return out[0] if isinstance(out, tuple) else out
-
+            query_forward = make_forward(load_pytree(
+                sib, {"batch_stats": state.batch_stats})["batch_stats"])
             print(f"query encoder: sketch-population BN stats ({sib})",
                   flush=True)
         elif bn_arg != "auto":
@@ -365,11 +363,16 @@ def main(argv=None):
         s = engine.image_size
         for b in engine.buckets:  # cold buckets would each pay a compile
             engine.search_arrays(np.zeros((b, s, s, 3), np.uint8))
-            if engine.capacity is not None and engine.per_modality_bn:
-                # /add embeds with the photo-stats program, a SEPARATE
-                # jit from the sketch-stats search path — without this
-                # the first online add after startup pays a cold
-                # encoder compile despite --warmup's contract
+            if engine.capacity is not None:
+                # /add embeds through a STANDALONE program the search
+                # warmup does not necessarily compile: on the plain
+                # capacity route the search embeds inside the fused
+                # _program (the standalone _embed stays cold), and on
+                # per-modality-BN runs /add uses the separate
+                # photo-stats jit — either way the first online add
+                # would otherwise pay a cold encoder compile despite
+                # --warmup's contract. (A shape-cache hit when already
+                # warm, so unconditionally cheap.)
                 engine._embed_gallery(
                     jnp.zeros((b, s, s, 3), jnp.uint8))
 

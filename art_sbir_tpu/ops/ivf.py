@@ -266,6 +266,17 @@ def build_ivf(
 SERVING_NPROBE_MARGIN = 2
 
 
+def apply_nprobe_margin(nprobe: int, nlist: int,
+                        margin: int = SERVING_NPROBE_MARGIN) -> int:
+    """The ONE place the safety margin is applied to a tuned nprobe —
+    :func:`tune_nprobe` and the golden-regeneration probe both call
+    this, so the golden's recorded serving operating point cannot drift
+    from the formula the server deploys (not just from the factor)."""
+    if margin < 1:
+        raise ValueError(f"margin must be >= 1, got {margin}")
+    return min(int(nprobe) * margin, int(nlist))
+
+
 def tune_nprobe(
     index,
     gallery: jax.Array,
@@ -306,8 +317,7 @@ def tune_nprobe(
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got "
                          f"{target_recall}")
-    if margin < 1:
-        raise ValueError(f"margin must be >= 1, got {margin}")
+    apply_nprobe_margin(1, 1, margin)  # validates margin up front
     if search_fn is None:
         def search_fn(q, nprobe, k):
             return ivf_search(q, index, gallery, nprobe=nprobe, k=k)
@@ -322,7 +332,7 @@ def tune_nprobe(
     while nprobe < index.nlist:
         _, ids = search_fn(q, nprobe, k)
         if topk_overlap(ids, exact) >= target_recall:
-            return min(nprobe * margin, int(index.nlist))
+            return apply_nprobe_margin(nprobe, index.nlist, margin)
         nprobe *= 2
     return index.nlist
 

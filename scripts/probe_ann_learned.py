@@ -308,14 +308,15 @@ def main() -> None:
     rows = gallery[sel]
     proxy = rows + 0.05 * rows.std() * prng.standard_normal(
         rows.shape).astype(np.float32)
-    from art_sbir_tpu.ops.ivf import SERVING_NPROBE_MARGIN
+    from art_sbir_tpu.ops.ivf import apply_nprobe_margin
 
     np_proxy = tune_nprobe(index, g_dev, jnp.asarray(proxy), k=10)
     np_real = tune_nprobe(index, g_dev, q_dev, k=10)
-    # what the serving engine actually deploys: proxy choice x the
-    # SHARED margin constant (retrieval/server.py reads the same one,
-    # so the golden's operating point cannot drift from the server's)
-    np_serving = min(np_proxy * SERVING_NPROBE_MARGIN, index.nlist)
+    # what the serving engine actually deploys: the SHARED margin
+    # application (tune_nprobe calls the same helper with the same
+    # default, so the golden's operating point cannot drift from the
+    # server's — neither the factor nor the formula)
+    np_serving = apply_nprobe_margin(np_proxy, index.nlist)
     _, ids = ivf_search(q_dev, index, g_dev, nprobe=np_proxy, k=10)
     real_at_proxy = float(topk_overlap(ids, exact))
     _, ids = ivf_search(q_dev, index, g_dev, nprobe=np_serving, k=10)
