@@ -185,6 +185,25 @@ def build_engine(args):
     return engine, MicroBatcher(engine, window_ms=args.window_ms)
 
 
+def warmup(engine) -> None:
+    """Compile every program a request could hit before binding the
+    port: the search program per batch bucket, and — for capacity
+    (online) engines — the standalone gallery-embed program ``/add``
+    uses, which the search warmup does not necessarily compile (the
+    plain capacity route embeds inside the fused search program, and
+    per-modality-BN runs embed adds through a separate photo-stats
+    jit). Without this the first request of each cold kind pays an XLA
+    encoder compile — tens of seconds on a 1-core host."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    s = engine.image_size
+    for b in engine.buckets:
+        engine.search_arrays(np.zeros((b, s, s, 3), np.uint8))
+        if engine.capacity is not None:
+            engine._embed_gallery(jnp.zeros((b, s, s, 3), jnp.uint8))
+
+
 def make_handler(engine, batcher):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj) -> None:
@@ -357,24 +376,7 @@ def main(argv=None):
     enable_compilation_cache()
     engine, batcher = build_engine(args)
     if args.warmup:
-        import jax.numpy as jnp
-        import numpy as np
-
-        s = engine.image_size
-        for b in engine.buckets:  # cold buckets would each pay a compile
-            engine.search_arrays(np.zeros((b, s, s, 3), np.uint8))
-            if engine.capacity is not None:
-                # /add embeds through a STANDALONE program the search
-                # warmup does not necessarily compile: on the plain
-                # capacity route the search embeds inside the fused
-                # _program (the standalone _embed stays cold), and on
-                # per-modality-BN runs /add uses the separate
-                # photo-stats jit — either way the first online add
-                # would otherwise pay a cold encoder compile despite
-                # --warmup's contract. (A shape-cache hit when already
-                # warm, so unconditionally cheap.)
-                engine._embed_gallery(
-                    jnp.zeros((b, s, s, 3), jnp.uint8))
+        warmup(engine)
 
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(engine, batcher))

@@ -1303,3 +1303,37 @@ def test_serve_cli_bn_stats(tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit):
         build_engine(mk_args(bn_stats=str(tmp_path / "nope")))
+
+
+def test_warmup_compiles_gallery_embed(tiny_engine):
+    """cli/serve.py::warmup must pre-compile the STANDALONE gallery-
+    embed program for capacity (online) engines — the search warmup
+    alone leaves it cold on the plain capacity route (the fused search
+    program embeds inline), so the first /add would pay an encoder
+    compile despite --warmup (round-5 review finding)."""
+    import jax.numpy as jnp
+
+    from art_sbir_tpu.cli.serve import warmup
+    from art_sbir_tpu.retrieval.server import RetrievalEngine
+
+    eng, imgs = tiny_engine
+    feats = np.asarray(eng.gallery, np.float32)
+
+    def forward(x_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
+        return x.reshape(x.shape[0], -1)
+
+    cap = RetrievalEngine(forward, feats, list(eng.image_paths),
+                          metric="euclidean", image_size=eng.image_size,
+                          k_max=5, max_batch=8, capacity=32)
+    warmup(cap)
+    # every /add bucket shape is already in the gallery-embed jit cache
+    traced = cap._embed_gallery._cache_size()
+    assert traced >= len(cap.buckets), (traced, cap.buckets)
+    # and an immutable engine warms without touching the add path
+    imm = RetrievalEngine(forward, feats, list(eng.image_paths),
+                          metric="euclidean", image_size=eng.image_size,
+                          k_max=5, max_batch=8)
+    warmup(imm)
+    out = imm.search(_png_bytes(imgs[3]))
+    assert out["paths"][0] == "gallery/img_3.png"
