@@ -707,16 +707,23 @@ def main() -> None:
     except Exception as e:
         log(f"headline-history print skipped: {e}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "retrieval_query_qps_10k_gallery",
-                "value": round(qps, 1),
-                "unit": "queries/sec",
-                "vs_baseline": round(qps / ref_qps, 2),
-            }
-        )
-    )
+    # regime context rides in the artifact itself: the 10k headline is
+    # DISPATCH-dominated, so it tracks the shared relay's per-call
+    # overhead, which moves 3-5x between sessions with zero code change
+    # (PERF.md "Third regime shift"); rtt_ms and the compute-bound
+    # encoder anchor let a reader normalize cross-round artifacts.
+    out = {
+        "metric": "retrieval_query_qps_10k_gallery",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / ref_qps, 2),
+        "rtt_ms": round(rtt * 1e3, 1),
+    }
+    try:
+        out["encoder_emb_per_s"] = round(enc, 1)
+    except NameError:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
