@@ -1304,6 +1304,18 @@ def test_serve_cli_bn_stats(tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         build_engine(mk_args(bn_stats=str(tmp_path / "nope")))
 
+    # --features mode auto-detects the sibling too (the bn block keys
+    # off args.folder, which names the query encoder in both modes):
+    # served results must equal the folder-mode engine's bit-for-bit
+    cache_folder = eng.save(root=tmp_path / "feats")
+    eng_f, b_f = build_engine(mk_args(
+        features=cache_folder, feature_root=str(tmp_path / "feats")))
+    b_f.close()
+    assert eng_f.per_modality_bn is True
+    fv, fi = eng_f.search_arrays(img)
+    np.testing.assert_array_equal(idx[0], fi[0])
+    np.testing.assert_allclose(vals[0], fv[0], rtol=0, atol=0)
+
 
 def test_warmup_compiles_gallery_embed(tiny_engine):
     """cli/serve.py::warmup must pre-compile the STANDALONE gallery-
