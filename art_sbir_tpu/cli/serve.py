@@ -194,14 +194,28 @@ def warmup(engine) -> None:
     per-modality-BN runs embed adds through a separate photo-stats
     jit). Without this the first request of each cold kind pays an XLA
     encoder compile — tens of seconds on a 1-core host."""
+    import io
+
     import jax.numpy as jnp
     import numpy as np
+    from PIL import Image
 
     s = engine.image_size
     for b in engine.buckets:
         engine.search_arrays(np.zeros((b, s, s, 3), np.uint8))
         if engine.capacity is not None:
             engine._embed_gallery(jnp.zeros((b, s, s, 3), jnp.uint8))
+    if engine.capacity is not None and engine.n_valid < engine.capacity:
+        # one real add+remove also compiles the row-write programs and
+        # (online IVF) the cluster-assignment matmul the HTTP /add path
+        # hits; the tombstoned slot is reused by the first real add
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((s, s, 3), np.uint8)).save(buf, "PNG")
+        name = "__warmup__.png"
+        while name in engine.image_paths:  # remove() frees FIRST match
+            name = "_" + name
+        engine.add_images([(buf.getvalue(), name)])
+        engine.remove([name])
 
 
 def make_handler(engine, batcher):

@@ -1338,10 +1338,18 @@ def test_warmup_compiles_gallery_embed(tiny_engine):
     cap = RetrievalEngine(forward, feats, list(eng.image_paths),
                           metric="euclidean", image_size=eng.image_size,
                           k_max=5, max_batch=8, capacity=32)
+    n0 = int(cap.n_valid)
     warmup(cap)
     # every /add bucket shape is already in the gallery-embed jit cache
     traced = cap._embed_gallery._cache_size()
     assert traced >= len(cap.buckets), (traced, cap.buckets)
+    # the real add+remove warm cycle leaves the index unchanged (the
+    # tombstoned slot is reused) and the row-write programs compiled
+    assert int(cap.n_valid) == n0
+    assert cap._set_row._cache_size() >= 1
+    slot = cap.add_images([(_png_bytes(np.zeros(
+        (cap.image_size, cap.image_size, 3), np.uint8)), "real.png")])
+    assert slot == [n0]  # the warmup slot was freed for reuse
     # and an immutable engine warms without touching the add path
     imm = RetrievalEngine(forward, feats, list(eng.image_paths),
                           metric="euclidean", image_size=eng.image_size,
